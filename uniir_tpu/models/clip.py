@@ -1,0 +1,166 @@
+"""CLIP towers in Flax (from scratch, weight-compatible with public CLIP).
+
+Architecture parity with OpenAI CLIP (the external `clip` package the
+reference loads at src/models/uniir_clip/clip_scorefusion/clip_sf.py:25):
+  * vision: conv patch embed (no bias), class token, learned positional
+    embedding, pre-LN transformer with QuickGELU, ln_post + projection.
+    `pool="cls"` gives the pooled embedding; `pool="none"` keeps all tokens
+    (the CLIP-FF VisionTransformerWithoutPooling surgery, reference
+    clip_ff.py:23-59 applies ln_post + proj to the full sequence).
+  * text: token embedding, positional embedding, causal-mask transformer,
+    ln_final; pooled output takes the EOT position (argmax of token ids)
+    through text_projection; `pool="none"` returns the full ln_final sequence
+    without projection (CLIP-FF text path, reference clip_ff.py:148-156).
+
+TPU notes: NHWC images; all matmuls run in the module compute dtype (bf16 in
+training); softmax/logit math in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from uniir_tpu.models.layers import PatchEmbed, Transformer
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    # vision
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    # text
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    # joint
+    embed_dim: int = 512
+
+
+CLIP_CONFIGS = {
+    "ViT-B/32": CLIPConfig(),
+    "ViT-B/16": CLIPConfig(patch_size=16),
+    "ViT-L/14": CLIPConfig(
+        patch_size=14,
+        vision_width=1024,
+        vision_layers=24,
+        vision_heads=16,
+        text_width=768,
+        text_layers=12,
+        text_heads=12,
+        embed_dim=768,
+    ),
+}
+
+# Tiny config for fast CPU tests.
+CLIP_CONFIGS["test-tiny"] = CLIPConfig(
+    image_size=32,
+    patch_size=8,
+    vision_width=32,
+    vision_layers=2,
+    vision_heads=2,
+    vocab_size=128,
+    context_length=16,
+    text_width=32,
+    text_layers=2,
+    text_heads=2,
+    embed_dim=16,
+)
+
+
+class CLIPVisionTower(nn.Module):
+    cfg: CLIPConfig
+    pool: str = "cls"  # "cls" | "none"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = PatchEmbed(cfg.vision_width, cfg.patch_size, use_bias=False, dtype=self.dtype, name="conv1")(
+            images.astype(self.dtype)
+        )
+        B, L, _ = x.shape
+        cls = self.param("class_embedding", nn.initializers.normal(cfg.vision_width**-0.5), (cfg.vision_width,))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (B, 1, cfg.vision_width)), x], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(cfg.vision_width**-0.5),
+            (L + 1, cfg.vision_width),
+        )
+        x = x + pos.astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = Transformer(
+            cfg.vision_width,
+            cfg.vision_layers,
+            cfg.vision_heads,
+            act="quick_gelu",
+            dtype=self.dtype,
+            remat=self.remat,
+            name="transformer",
+        )(x)
+        proj = self.param(
+            "proj", nn.initializers.normal(cfg.vision_width**-0.5), (cfg.vision_width, cfg.embed_dim)
+        )
+        if self.pool == "cls":
+            x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0, :])
+            return x @ proj.astype(self.dtype)
+        # pool == "none": token sequence through ln_post + proj (CLIP-FF surgery)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x)
+        return x @ proj.astype(self.dtype)
+
+
+class CLIPTextTower(nn.Module):
+    cfg: CLIPConfig
+    pool: str = "eot"  # "eot" | "none"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        tok = self.param("token_embedding", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.text_width))
+        x = tok.astype(self.dtype)[text]
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01), (cfg.context_length, cfg.text_width)
+        )
+        x = x + pos.astype(self.dtype)[: x.shape[1]]
+        L = x.shape[1]
+        causal = jnp.tril(jnp.ones((L, L), dtype=bool))[None, None]
+        x = Transformer(
+            cfg.text_width,
+            cfg.text_layers,
+            cfg.text_heads,
+            act="quick_gelu",
+            dtype=self.dtype,
+            remat=self.remat,
+            name="transformer",
+        )(x, mask=causal)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        if self.pool == "none":
+            # CLIP-FF text path: full sequence, no projection (the reference
+            # deletes text_projection, clip_ff.py:107).
+            return x
+        text_proj = self.param(
+            "text_projection", nn.initializers.normal(cfg.text_width**-0.5), (cfg.text_width, cfg.embed_dim)
+        )
+        eot_pos = jnp.argmax(text, axis=-1)  # EOT has the highest token id
+        pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+        return pooled @ text_proj.astype(self.dtype)
+
+
+def clip_logit_scale_init(key, shape, dtype=jnp.float32):
+    del key, shape
+    return jnp.asarray(np.log(1.0 / 0.07), dtype=dtype)

