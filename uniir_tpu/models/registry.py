@@ -1,0 +1,116 @@
+"""Model registry: build any of the four retriever variants from a config.
+
+Replaces reference `build_model_from_config` (src/common/utils.py:64-153).
+Returns a `ModelBundle`: the Flax module, initialized/loaded params, the
+matching tokenizer and image transform, and the embed-forward method name.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniir_tpu.core.config import parse_image_size
+from uniir_tpu.models.clip import CLIP_CONFIGS
+from uniir_tpu.models.clip_sf import CLIPScoreFusion
+
+MODEL_NAMES = ("CLIPScoreFusion", "CLIPFeatureFusion", "BLIPScoreFusion", "BLIPFeatureFusion")
+
+
+@dataclass
+class ModelBundle:
+    name: str
+    model: Any  # flax module
+    params: Any
+    tokenizer: Callable
+    img_preprocess_fn: Callable
+    img_preprocess_fn_eval: Callable
+    image_size: tuple
+    embed_dim: int
+    extra: dict = field(default_factory=dict)
+
+    def encode_batch(self, params, batch):
+        """Non-jitted convenience embed (tests / tiny runs)."""
+        return self.model.apply(
+            {"params": params},
+            batch["txt_batched"],
+            batch["image_batched"],
+            batch["txt_mask_batched"],
+            batch["image_mask_batched"],
+        )
+
+
+def _init_params(model, image_size: tuple, context_length: int, rng=None, text_is_dict: bool = False):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n = 2
+    txt = np.zeros((n, context_length), np.int32)
+    if text_is_dict:
+        txt = {"input_ids": txt, "attention_mask": np.ones_like(txt)}
+    img = np.zeros((n, image_size[0], image_size[1], 3), np.float32)
+    mask = np.ones((n,), np.int32)
+    return model.init(rng, txt, img, mask, mask)["params"]
+
+
+def build_clip_sf(config, rng=None) -> ModelBundle:
+    from uniir_tpu.data.preprocess import clip_transform
+    from uniir_tpu.data.tokenizers.clip_bpe import CLIPTokenizer
+
+    model_config = config.model
+    clip_name = model_config.clip_vision_model_name
+    cfg = CLIP_CONFIGS[clip_name]
+    dtype = jnp.bfloat16 if getattr(model_config, "bf16", True) else jnp.float32
+    model = CLIPScoreFusion(cfg, dtype=dtype)
+    params = _init_params(model, (cfg.image_size, cfg.image_size), cfg.context_length, rng)
+
+    bpe_path = getattr(model_config, "clip_bpe_path", None)
+    tokenizer = CLIPTokenizer(bpe_path=bpe_path)
+
+    def tokenizer_wrapper(txts):
+        return tokenizer(txts, context_length=cfg.context_length, truncate=True)
+
+    transform = clip_transform(cfg.image_size)
+    return ModelBundle(
+        name="CLIPScoreFusion",
+        model=model,
+        params=params,
+        tokenizer=tokenizer_wrapper,
+        img_preprocess_fn=transform,
+        img_preprocess_fn_eval=transform,
+        image_size=(cfg.image_size, cfg.image_size),
+        embed_dim=cfg.embed_dim,
+    )
+
+
+def build_model_from_config(config, rng=None) -> ModelBundle:
+    name = config.model.name
+    if name == "CLIPScoreFusion":
+        bundle = build_clip_sf(config, rng)
+    elif name == "CLIPFeatureFusion":
+        from uniir_tpu.models.clip_ff import build_clip_ff
+
+        bundle = build_clip_ff(config, rng)
+    elif name == "BLIPScoreFusion":
+        from uniir_tpu.models.blip_sf import build_blip_sf
+
+        bundle = build_blip_sf(config, rng)
+    elif name == "BLIPFeatureFusion":
+        from uniir_tpu.models.blip_ff import build_blip_ff
+
+        bundle = build_blip_ff(config, rng)
+    else:
+        raise ValueError(f"Unknown model name {name!r}; expected one of {MODEL_NAMES}")
+
+    ckpt_cfg = getattr(config.model, "ckpt_config", None)
+    ckpt_name = getattr(ckpt_cfg, "ckpt_name", "") if ckpt_cfg else ""
+    if ckpt_name:
+        ckpt_path = os.path.join(config.uniir_dir, ckpt_cfg.ckpt_dir, ckpt_name)
+        from uniir_tpu.core.checkpoint import load_params
+
+        bundle.params = load_params(ckpt_path, like=bundle.params)
+        print(f"Loaded {name} checkpoint from {ckpt_path}")
+    return bundle

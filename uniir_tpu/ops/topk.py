@@ -1,0 +1,172 @@
+"""Exact dense top-k retrieval ops (the FAISS IndexFlatIP replacement).
+
+The reference shards a FAISS flat inner-product index over GPUs
+(reference src/common/mbeir_retriever.py:96-103,201-232).  Here the candidate
+pool lives in device HBM and search is a tiled matmul with streaming
+k-selection:
+
+  * `chunked_topk`  -- single-device: lax.scan over candidate chunks; each
+    step is one MXU matmul [Q, D] x [D, C] plus a running top-k merge, so the
+    full [Q, N] score matrix never materializes in HBM.
+  * `sharded_topk`  -- multi-device: pool rows sharded over the mesh `data`
+    axis via shard_map; each shard computes a local top-k with global index
+    offsets, then an all_gather of the tiny [Q, k] partials + final merge.
+    Collectives ride ICI; HBM holds N/n_dev rows per chip (5.6M x 768 fp16
+    ~ 8.6 GB -> ~1.1 GB/chip on v5e-8).
+
+A fused Pallas kernel for the matmul+select inner loop lives in
+`uniir_tpu.ops.topk_pallas` (used automatically on TPU when shapes allow).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uniir_tpu.core.mesh import DATA_AXIS
+
+NEG_INF = jnp.asarray(-jnp.inf, jnp.float32)
+
+
+def _merge_topk(scores_a, idx_a, scores_b, idx_b, k: int):
+    """Merge two [Q, ka]/[Q, kb] partial top-k sets into [Q, k]."""
+    scores = jnp.concatenate([scores_a, scores_b], axis=1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=1)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    return top_scores, jnp.take_along_axis(idx, pos, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size", "valid_n"))
+def chunked_topk(
+    queries: jnp.ndarray,
+    pool: jnp.ndarray,
+    k: int,
+    chunk_size: int = 16384,
+    valid_n: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k inner-product search.
+
+    queries: [Q, D] (any float dtype; accumulation is fp32)
+    pool:    [N, D]
+    valid_n: rows >= valid_n are padding and never retrieved.
+    Returns (scores [Q, k] fp32, indices [Q, k] int32 into pool rows).
+    """
+    Q, D = queries.shape
+    N = pool.shape[0]
+    valid_n = N if valid_n is None else valid_n
+    k = min(k, N)
+
+    n_chunks = -(-N // chunk_size)
+    pad = n_chunks * chunk_size - N
+    if pad:
+        pool = jnp.concatenate([pool, jnp.zeros((pad, D), pool.dtype)], axis=0)
+    pool_chunks = pool.reshape(n_chunks, chunk_size, D)
+
+    q = queries.astype(jnp.bfloat16)
+
+    def chunk_topk(chunk, chunk_idx):
+        # MXU matmul with fp32 accumulation
+        scores = jax.lax.dot_general(
+            q,
+            chunk.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Q, C]
+        base = chunk_idx * chunk_size
+        col = jax.lax.broadcasted_iota(jnp.int32, (Q, chunk_size), 1) + base
+        scores = jnp.where(col < valid_n, scores, NEG_INF)
+        c_s, c_pos = jax.lax.top_k(scores, min(k, chunk_size))
+        c_i = jnp.take_along_axis(col, c_pos, axis=1)
+        if c_s.shape[1] < k:  # k > chunk_size: pad out
+            pad = k - c_s.shape[1]
+            c_s = jnp.concatenate([c_s, jnp.full((Q, pad), NEG_INF, jnp.float32)], axis=1)
+            c_i = jnp.concatenate([c_i, jnp.full((Q, pad), -1, jnp.int32)], axis=1)
+        return c_s, c_i
+
+    def scan_step(carry, inp):
+        best_s, best_i = carry
+        chunk, chunk_idx = inp
+        c_s, c_i = chunk_topk(chunk, chunk_idx)
+        best_s, best_i = _merge_topk(best_s, best_i, c_s, c_i, k)
+        return (best_s, best_i), None
+
+    # Seed the carry from chunk 0 (also keeps the carry axis-varying inside
+    # shard_map bodies, where a constant init would be unvarying).
+    init = chunk_topk(pool_chunks[0], jnp.int32(0))
+    if n_chunks == 1:
+        return init
+    (scores, indices), _ = jax.lax.scan(
+        scan_step, init, (pool_chunks[1:], jnp.arange(1, n_chunks, dtype=jnp.int32))
+    )
+    return scores, indices
+
+
+def sharded_topk(
+    queries: jnp.ndarray,
+    pool: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    chunk_size: int = 16384,
+    valid_n: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pool-sharded exact top-k over the mesh `data` axis.
+
+    The pool is (re)sharded row-wise; each device searches its shard, then the
+    [Q, k] partials are all-gathered and merged.  `pool` may be a numpy array
+    or an already-sharded jax array whose rows are padded to a multiple of the
+    axis size.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    N, D = pool.shape
+    valid_n = N if valid_n is None else valid_n
+    k = min(k, valid_n)
+
+    shard_rows = -(-N // n_dev)
+    pad = shard_rows * n_dev - N
+    if pad:
+        pool = jnp.concatenate([jnp.asarray(pool), jnp.zeros((pad, D), pool.dtype)], axis=0)
+
+    pool = jax.device_put(jnp.asarray(pool), NamedSharding(mesh, P(DATA_AXIS, None)))
+    queries = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by the trailing all_gather+merge
+    )
+    def search(q, local_pool):
+        shard_idx = jax.lax.axis_index(DATA_AXIS)
+        base = shard_idx * shard_rows
+        s, i = chunked_topk(
+            q,
+            local_pool,
+            k=k,
+            chunk_size=min(chunk_size, shard_rows),
+            valid_n=shard_rows,  # per-shard bound; global bound applied below
+        )
+        gi = i + base
+        s = jnp.where(gi < valid_n, s, NEG_INF)
+        # gather the tiny partials from every shard and merge
+        all_s = jax.lax.all_gather(s, DATA_AXIS, axis=0)  # [n_dev, Q, k]
+        all_i = jax.lax.all_gather(gi, DATA_AXIS, axis=0)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(q.shape[0], -1)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q.shape[0], -1)
+        top_s, pos = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    return search(queries, pool)
+
+
+def topk_numpy_reference(queries: np.ndarray, pool: np.ndarray, k: int):
+    """Brute-force fp32 reference for tests."""
+    scores = queries.astype(np.float32) @ pool.astype(np.float32).T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx

@@ -1,0 +1,247 @@
+"""Retrieval evaluation: qrels, run files, Recall@k, TSV reports.
+
+Byte-compatible with the reference formats
+(reference src/common/mbeir_retriever.py:149-185,312-603):
+  * qrels:    `qid 0 did relevance task_id` whitespace rows
+  * run file: `qid Q0 did rank score run_id task_id`
+  * Recall@k: hit-rate -- 1.0 if any relevant doc in top-k else 0.0
+  * TSV:      TaskID/Task/Dataset/Split/Metric/CandPool/Value/UnionPool/UnionValue
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from collections import defaultdict
+from datetime import datetime
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from uniir_tpu.data.registry import get_mbeir_task_name, unhash_did, unhash_qid
+from uniir_tpu.retrieval.index import DenseIndex
+from uniir_tpu.retrieval.search import search_dense_index
+
+AVAILABLE_RECALL_METRICS = ["Recall@1", "Recall@5", "Recall@10", "Recall@20", "Recall@50"]
+
+# Sort orders matching the reference's report (mbeir_retriever.py:507-534).
+DATASET_ORDER = {
+    "visualnews_task0": 1,
+    "mscoco_task0": 2,
+    "fashion200k_task0": 3,
+    "webqa_task1": 4,
+    "edis_task2": 5,
+    "webqa_task2": 6,
+    "visualnews_task3": 7,
+    "mscoco_task3": 8,
+    "fashion200k_task3": 9,
+    "nights_task4": 10,
+    "oven_task6": 11,
+    "infoseek_task6": 12,
+    "fashioniq_task7": 13,
+    "cirr_task7": 14,
+    "oven_task8": 15,
+    "infoseek_task8": 16,
+}
+SPLIT_ORDER = {"val": 1, "test": 2}
+CAND_POOL_ORDER = {"union": 99}
+
+
+def compute_recall_at_k(relevant_docs, retrieved_indices, k: int) -> float:
+    """Hit-rate recall (reference :149-166)."""
+    if not relevant_docs:
+        return 0.0
+    if set(relevant_docs).intersection(set(retrieved_indices[:k])):
+        return 1.0
+    return 0.0
+
+
+def load_qrel(filename: str) -> Tuple[Dict[str, list], Dict[str, str]]:
+    """Load qrels + qid->task_id map (reference :169-185)."""
+    qrel: Dict[str, list] = {}
+    qid_to_taskid: Dict[str, str] = {}
+    with open(filename, "r") as f:
+        for line in f:
+            query_id, _, doc_id, relevance_score, task_id = line.strip().split()
+            if int(relevance_score) > 0:
+                qrel.setdefault(query_id, []).append(doc_id)
+                qid_to_taskid.setdefault(query_id, task_id)
+    print(f"Retriever: Loaded {len(qrel)} queries from {filename}")
+    return qrel, qid_to_taskid
+
+
+def write_run_file(run_file_path, retrieved_dist, retrieved_indices, hashed_query_ids, qid_to_taskid, run_id):
+    """TREC-style run file (reference :427-444)."""
+    os.makedirs(os.path.dirname(run_file_path) or ".", exist_ok=True)
+    with open(run_file_path, "w") as run_file:
+        for idx, (distances, indices) in enumerate(zip(retrieved_dist, retrieved_indices)):
+            qid = unhash_qid(hashed_query_ids[idx])
+            task_id = qid_to_taskid[qid]
+            for rank, (hashed_doc_id, score) in enumerate(zip(indices, distances), start=1):
+                doc_id = unhash_did(hashed_doc_id)
+                run_file.write(f"{qid} Q0 {doc_id} {rank} {score} {run_id} {task_id}\n")
+
+
+def load_run_file(run_file_path: str) -> Dict[str, list]:
+    """qid -> ranked [did,...] (for the analyst; reference common/utils.py:33-61)."""
+    run: Dict[str, list] = defaultdict(list)
+    with open(run_file_path, "r") as f:
+        for line in f:
+            qid, _, did, rank, score, run_id, task_id = line.strip().split()
+            run[qid].append((int(rank), did, float(score), task_id))
+    return {qid: [did for _, did, _, _ in sorted(rows)] for qid, rows in run.items()}
+
+
+def evaluate_recall(
+    retrieved_indices: np.ndarray,
+    hashed_query_ids: np.ndarray,
+    qrel: Dict[str, list],
+    qid_to_taskid: Dict[str, str],
+    metric_recall_list: List[str],
+) -> Dict[str, Dict[str, float]]:
+    """Per-task mean Recall@k (reference :476-503)."""
+    recall_values_by_task: Dict[str, Dict[str, list]] = defaultdict(lambda: defaultdict(list))
+    for i, retrieved in enumerate(retrieved_indices):
+        retrieved_dids = [unhash_did(x) for x in retrieved]
+        qid = unhash_qid(hashed_query_ids[i])
+        relevant_docs = qrel[qid]
+        task_id = qid_to_taskid[qid]
+        for metric in metric_recall_list:
+            k = int(metric.split("@")[1])
+            recall_values_by_task[task_id][metric].append(compute_recall_at_k(relevant_docs, retrieved_dids, k))
+    out: Dict[str, Dict[str, float]] = {}
+    for task_id, recalls in recall_values_by_task.items():
+        out[task_id] = {m: round(sum(v) / len(v), 4) for m, v in recalls.items()}
+    return out
+
+
+def sort_eval_results(eval_results: List[dict]) -> List[dict]:
+    return sorted(
+        eval_results,
+        key=lambda x: (
+            x["TaskID"],
+            DATASET_ORDER.get(x["Dataset"].lower(), 99),
+            SPLIT_ORDER.get(x["Split"].lower(), 99),
+            CAND_POOL_ORDER.get(x["CandPool"].lower(), 0),
+        ),
+    )
+
+
+def write_tsv_report(eval_results: List[dict], tsv_file_path: str) -> None:
+    """Grouped TSV with single-pool vs UNION columns (reference :537-603)."""
+    eval_results_sorted = sort_eval_results(eval_results)
+    grouped: Dict[tuple, Dict[str, dict]] = defaultdict(lambda: defaultdict(dict))
+    for result in eval_results_sorted:
+        key = (result["TaskID"], result["Task"], result["Dataset"], result["Split"])
+        for metric in AVAILABLE_RECALL_METRICS:
+            grouped[key][result["CandPool"]].update({metric: result.get(metric, None)})
+
+    rows = [["TaskID", "Task", "Dataset", "Split", "Metric", "CandPool", "Value", "UnionPool", "UnionValue"]]
+    for (task_id, task, dataset, split), cand_pools in grouped.items():
+        union_results = cand_pools.get("union", {})
+        for metric in AVAILABLE_RECALL_METRICS:
+            for cand_pool, metrics in cand_pools.items():
+                if cand_pool == "union":
+                    continue
+                value = metrics.get(metric, None)
+                if value is None:
+                    continue
+                row = [task_id, task, dataset, split, metric, cand_pool, value]
+                if union_results:
+                    row.extend(["union", union_results.get(metric, "N/A")])
+                else:
+                    row.extend(["", ""])
+                rows.append(row)
+
+    os.makedirs(os.path.dirname(tsv_file_path) or ".", exist_ok=True)
+    with open(tsv_file_path, "w", newline="") as tsvfile:
+        writer = csv.writer(tsvfile, delimiter="\t")
+        for row in rows:
+            writer.writerow(row)
+    print(f"Retriever: Results saved to {tsv_file_path}")
+
+
+def run_retrieval(config, mesh=None) -> List[dict]:
+    """Full retrieval sweep driven by retrieval.yaml (reference run_retrieval :312-603)."""
+    uniir_dir = config.uniir_dir
+    mbeir_data_dir = config.mbeir_data_dir
+    retrieval_config = config.retrieval_config
+    qrel_dir_name = retrieval_config.qrel_dir_name
+    embed_dir_name = retrieval_config.embed_dir_name
+    index_dir_name = retrieval_config.index_dir_name
+    expt_dir_name = config.experiment.path_suffix
+
+    results_dir_name = retrieval_config.results_dir_name
+    exp_results_dir = os.path.join(uniir_dir, results_dir_name, expt_dir_name)
+    exp_run_file_dir = os.path.join(exp_results_dir, "run_files")
+    exp_tsv_results_dir = os.path.join(exp_results_dir, "final_tsv")
+    os.makedirs(exp_run_file_dir, exist_ok=True)
+    os.makedirs(exp_tsv_results_dir, exist_ok=True)
+
+    splits = []
+    for split_name in ("train", "val", "test"):
+        ds_cfg = getattr(retrieval_config, f"{split_name}_datasets_config", None)
+        if ds_cfg and ds_cfg.enable_retrieve:
+            dataset_embed_dir = os.path.join(uniir_dir, embed_dir_name, expt_dir_name, split_name)
+            splits.append(
+                (
+                    split_name,
+                    dataset_embed_dir,
+                    ds_cfg.datasets_name,
+                    ds_cfg.correspond_cand_pools_name,
+                    ds_cfg.correspond_qrels_name,
+                    ds_cfg.correspond_metrics_name,
+                )
+            )
+            assert len(ds_cfg.datasets_name) == len(ds_cfg.correspond_cand_pools_name) == len(ds_cfg.correspond_qrels_name) == len(ds_cfg.correspond_metrics_name), "Mismatch between datasets and candidate pools and qrels."
+
+    eval_results = []
+    cand_index_dir = os.path.join(uniir_dir, index_dir_name, expt_dir_name, "cand_pool")
+    qrel_dir = os.path.join(mbeir_data_dir, qrel_dir_name)
+    for split, dataset_embed_dir, dataset_names, cand_pool_names, qrel_names, metric_names_list in splits:
+        for dataset_name, cand_pool_name, qrel_name, metric_names in zip(dataset_names, cand_pool_names, qrel_names, metric_names_list):
+            dataset_name = dataset_name.lower()
+            cand_pool_name = cand_pool_name.lower()
+            qrel_name = qrel_name.lower()
+
+            qrel_path = os.path.join(qrel_dir, split, f"mbeir_{qrel_name}_{split}_qrels.txt")
+            qrel, qid_to_taskid = load_qrel(qrel_path)
+
+            hashed_query_ids = np.load(os.path.join(dataset_embed_dir, f"mbeir_{dataset_name}_{split}_ids.npy"))
+            query_embeds = np.load(os.path.join(dataset_embed_dir, f"mbeir_{dataset_name}_{split}_embed.npy"))
+
+            index = DenseIndex.load(os.path.join(cand_index_dir, f"mbeir_{cand_pool_name}_cand_pool.index"))
+
+            metric_list = [m.strip() for m in metric_names.split(",")]
+            metric_recall_list = [m for m in metric_list if "recall" in m.lower()]
+            k = max(int(m.split("@")[1]) for m in metric_recall_list)
+
+            print(f"Retriever: query:{dataset_name} | split:{split} | pool:{cand_pool_name} | k={k}")
+            retrieved_dist, retrieved_indices = search_dense_index(
+                query_embeds, index, num_cand_to_retrieve=k, mesh=mesh
+            )
+
+            pool_kind = "union_pool" if cand_pool_name == "union" else "single_pool"
+            run_id = f"mbeir_{dataset_name}_{pool_kind}_{split}_k{k}"
+            run_file_path = os.path.join(exp_run_file_dir, f"{run_id}_run.txt")
+            write_run_file(run_file_path, retrieved_dist, retrieved_indices, hashed_query_ids, qid_to_taskid, run_id)
+            print(f"Retriever: Run file saved to {run_file_path}")
+
+            per_task = evaluate_recall(retrieved_indices, hashed_query_ids, qrel, qid_to_taskid, metric_recall_list)
+            for task_id, metrics in per_task.items():
+                result = {
+                    "TaskID": int(task_id),
+                    "Task": get_mbeir_task_name(int(task_id)),
+                    "Dataset": dataset_name,
+                    "Split": split,
+                    "CandPool": cand_pool_name,
+                }
+                result.update(metrics)
+                eval_results.append(result)
+
+    if retrieval_config.write_to_tsv:
+        date_time = datetime.now().strftime("%m-%d-%H")
+        tsv_file_path = os.path.join(exp_tsv_results_dir, f"eval_results_{date_time}.tsv")
+        write_tsv_report(eval_results, tsv_file_path)
+
+    return eval_results
