@@ -1,0 +1,104 @@
+"""BLIP vision transformer (timm-style ViT, from scratch in Flax).
+
+Parity with the reference backbone (src/models/uniir_blip/backbone/vit.py:
+explicit Attention/Block/Mlp modules :24-153): patch16 conv embed *with* bias,
+trainable zero-init cls token + position embedding, pre-LN blocks with plain
+GELU, final LayerNorm, all tokens returned (CLS at index 0).  Large adds
+stochastic depth (drop_path 0.1, reference blip.py:229-255).
+
+`jax.checkpoint` rematerialization replaces fairscale checkpoint_wrapper
+(reference vit.py:146-148); position-embedding interpolation for resolution
+changes lives in `uniir_tpu.models.layers.interpolate_pos_embed`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uniir_tpu.models.layers import MLP, MultiHeadAttention, PatchEmbed
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BLIPViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+
+
+BLIP_VIT_CONFIGS = {
+    "base": BLIPViTConfig(),
+    "large": BLIPViTConfig(width=1024, layers=24, heads=16, drop_path_rate=0.1),
+    "test-tiny": BLIPViTConfig(image_size=32, patch_size=8, width=32, layers=2, heads=2),
+}
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath, reference vit.py usage)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class BLIPBlock(nn.Module):
+    width: int
+    heads: int
+    mlp_ratio: float
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = MultiHeadAttention(self.width, self.heads, dtype=self.dtype, name="attn")(h)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, name="mlp")(h)
+        return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+
+
+class BLIPVisionTransformer(nn.Module):
+    cfg: BLIPViTConfig
+    dtype: Dtype = jnp.float32
+    remat_from_layer: int = 0  # remat blocks [layers - k, layers) like ckpt_layer
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        x = PatchEmbed(cfg.width, cfg.patch_size, use_bias=True, dtype=self.dtype, name="patch_embed")(
+            images.astype(self.dtype)
+        )
+        B, L, _ = x.shape
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.width))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (B, 1, cfg.width)), x], axis=1)
+        pos = self.param("pos_embed", nn.initializers.zeros, (1, L + 1, cfg.width))
+        x = x + pos.astype(self.dtype)
+
+        for i in range(cfg.layers):
+            # linear drop-path schedule like timm (rate * i / (layers - 1))
+            dp = cfg.drop_path_rate * i / max(1, cfg.layers - 1)
+            block_cls = BLIPBlock
+            if self.remat_from_layer and i >= cfg.layers - self.remat_from_layer:
+                block_cls = nn.remat(BLIPBlock, static_argnums=(2,))
+            x = block_cls(cfg.width, cfg.heads, cfg.mlp_ratio, drop_path=dp, dtype=self.dtype, name=f"blocks_{i}")(
+                x, deterministic
+            )
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)

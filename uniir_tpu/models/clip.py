@@ -64,7 +64,7 @@ CLIP_CONFIGS = {
     ),
 }
 
-# Tiny config for fast CPU tests.
+# Tiny configs for fast CPU tests.
 CLIP_CONFIGS["test-tiny"] = CLIPConfig(
     image_size=32,
     patch_size=8,
@@ -77,6 +77,11 @@ CLIP_CONFIGS["test-tiny"] = CLIPConfig(
     text_layers=2,
     text_heads=2,
     embed_dim=16,
+)
+
+# Feature fusion requires text_width == embed_dim (like B/32's 512 and L/14's 768).
+CLIP_CONFIGS["test-tiny-ff"] = CLIP_CONFIGS["test-tiny"].__class__(
+    **{**CLIP_CONFIGS["test-tiny"].__dict__, "embed_dim": 32}
 )
 
 

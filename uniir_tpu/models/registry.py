@@ -86,6 +86,54 @@ def build_clip_sf(config, rng=None) -> ModelBundle:
     )
 
 
+def _build_blip(config, cls, rng=None) -> ModelBundle:
+    from uniir_tpu.data.preprocess import blip_transform
+    from uniir_tpu.data.tokenizers.bert_wordpiece import BertTokenizer
+    from uniir_tpu.models.blip_vit import BLIP_VIT_CONFIGS
+    from uniir_tpu.models.med import MED_CONFIGS, MedConfig
+    import dataclasses
+
+    model_config = config.model
+    vit = getattr(model_config, "vit", "base")
+    vit_cfg = BLIP_VIT_CONFIGS[vit]
+    image_size = getattr(model_config, "image_size", vit_cfg.image_size)
+    if image_size != vit_cfg.image_size:
+        vit_cfg = dataclasses.replace(vit_cfg, image_size=image_size)
+    med_cfg = MED_CONFIGS.get(vit, MED_CONFIGS["base"])
+    med_cfg = dataclasses.replace(med_cfg, encoder_width=vit_cfg.width)
+    embed_dim = getattr(model_config, "embed_dim", 768)
+    dtype = jnp.bfloat16 if getattr(model_config, "bf16", True) else jnp.float32
+    remat = bool(getattr(model_config, "vit_grad_ckpt", False))
+    model = cls(vit_cfg=vit_cfg, med_cfg=med_cfg, embed_dim=embed_dim, dtype=dtype, remat=remat)
+
+    max_len = int(getattr(model_config, "tokenizer_max_length", 64))
+    vocab_path = getattr(model_config, "bert_vocab_path", None)
+    if vocab_path is None:
+        raise FileNotFoundError(
+            "BLIP models need model.bert_vocab_path pointing at a bert-base-uncased vocab.txt"
+        )
+    tokenizer = BertTokenizer(vocab_path)
+
+    def tokenizer_wrapper(txts):
+        return tokenizer(txts, max_length=max_len)
+
+    params = _init_params(model, (vit_cfg.image_size, vit_cfg.image_size), max_len, rng, text_is_dict=True)
+    return ModelBundle(
+        name=cls.__name__,
+        model=model,
+        params=params,
+        tokenizer=tokenizer_wrapper,
+        img_preprocess_fn=blip_transform(vit_cfg.image_size, is_train=True),
+        img_preprocess_fn_eval=blip_transform(vit_cfg.image_size, is_train=False),
+        image_size=(vit_cfg.image_size, vit_cfg.image_size),
+        embed_dim=embed_dim,
+        extra={
+            "queue_size": int(getattr(model_config, "queue_size", 57600)),
+            "momentum": float(getattr(model_config, "momentum", 0.995)),
+        },
+    )
+
+
 def build_model_from_config(config, rng=None) -> ModelBundle:
     name = config.model.name
     if name == "CLIPScoreFusion":
@@ -95,13 +143,13 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
 
         bundle = build_clip_ff(config, rng)
     elif name == "BLIPScoreFusion":
-        from uniir_tpu.models.blip_sf import build_blip_sf
+        from uniir_tpu.models.blip_sf import BLIPScoreFusion
 
-        bundle = build_blip_sf(config, rng)
+        bundle = _build_blip(config, BLIPScoreFusion, rng)
     elif name == "BLIPFeatureFusion":
-        from uniir_tpu.models.blip_ff import build_blip_ff
+        from uniir_tpu.models.blip_ff import BLIPFeatureFusion
 
-        bundle = build_blip_ff(config, rng)
+        bundle = _build_blip(config, BLIPFeatureFusion, rng)
     else:
         raise ValueError(f"Unknown model name {name!r}; expected one of {MODEL_NAMES}")
 
