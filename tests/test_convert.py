@@ -1,0 +1,344 @@
+"""Weight-converter tests: numerical parity against minimal torch
+implementations of the reference block semantics, plus full-tree structural
+match against model.init."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from uniir_tpu.models.clip import CLIP_CONFIGS
+from uniir_tpu.models.clip_sf import CLIPScoreFusion
+from uniir_tpu.models.blip_sf import BLIPScoreFusion
+from uniir_tpu.models.blip_ff import BLIPFeatureFusion
+from uniir_tpu.models.blip_vit import BLIP_VIT_CONFIGS
+from uniir_tpu.models.med import MED_CONFIGS, MedBertModel
+from uniir_tpu.models.layers import TransformerBlock
+from uniir_tpu.models import convert
+
+
+def tree_shapes(tree, prefix=""):
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        out[key] = tuple(np.shape(leaf))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# numerical parity: CLIP resblock vs torch (in_proj conventions, quick_gelu)
+# ---------------------------------------------------------------------------
+
+
+def torch_clip_resblock(x, sd, p, heads):
+    """The OpenAI CLIP ResidualAttentionBlock forward in plain torch."""
+    W = x.shape[-1]
+
+    def ln(x, w, b):
+        return F.layer_norm(x, (W,), w, b)
+
+    h = ln(x, sd[f"{p}.ln_1.weight"], sd[f"{p}.ln_1.bias"])
+    qkv = h @ sd[f"{p}.attn.in_proj_weight"].T + sd[f"{p}.attn.in_proj_bias"]
+    q, k, v = qkv.chunk(3, dim=-1)
+    B, L, _ = x.shape
+    hd = W // heads
+
+    def split(t):
+        return t.reshape(B, L, heads, hd).permute(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    attn = torch.softmax(q @ k.transpose(-1, -2) / hd**0.5, dim=-1)
+    o = (attn @ v).permute(0, 2, 1, 3).reshape(B, L, W)
+    o = o @ sd[f"{p}.attn.out_proj.weight"].T + sd[f"{p}.attn.out_proj.bias"]
+    x = x + o
+    h = ln(x, sd[f"{p}.ln_2.weight"], sd[f"{p}.ln_2.bias"])
+    h = h @ sd[f"{p}.mlp.c_fc.weight"].T + sd[f"{p}.mlp.c_fc.bias"]
+    h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+    h = h @ sd[f"{p}.mlp.c_proj.weight"].T + sd[f"{p}.mlp.c_proj.bias"]
+    return x + h
+
+
+def test_clip_resblock_numerical_parity():
+    torch.manual_seed(0)
+    W, heads, B, L = 32, 4, 2, 7
+    p = "visual.transformer.resblocks.0"
+    sd = {
+        f"{p}.ln_1.weight": torch.randn(W),
+        f"{p}.ln_1.bias": torch.randn(W),
+        f"{p}.ln_2.weight": torch.randn(W),
+        f"{p}.ln_2.bias": torch.randn(W),
+        f"{p}.attn.in_proj_weight": torch.randn(3 * W, W) * 0.1,
+        f"{p}.attn.in_proj_bias": torch.randn(3 * W) * 0.1,
+        f"{p}.attn.out_proj.weight": torch.randn(W, W) * 0.1,
+        f"{p}.attn.out_proj.bias": torch.randn(W) * 0.1,
+        f"{p}.mlp.c_fc.weight": torch.randn(4 * W, W) * 0.1,
+        f"{p}.mlp.c_fc.bias": torch.randn(4 * W) * 0.1,
+        f"{p}.mlp.c_proj.weight": torch.randn(W, 4 * W) * 0.1,
+        f"{p}.mlp.c_proj.bias": torch.randn(W) * 0.1,
+    }
+    x = torch.randn(B, L, W)
+    ref = torch_clip_resblock(x, sd, p, heads).detach().numpy()
+
+    np_sd = convert.to_numpy_state_dict(sd)
+    params = convert._convert_clip_resblocks(np_sd, "visual.transformer", 1)["resblocks_0"]
+    block = TransformerBlock(W, heads, act="quick_gelu")
+    out = block.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# numerical parity: BERT layer vs torch (post-LN + cross-attn conventions)
+# ---------------------------------------------------------------------------
+
+
+def torch_bert_layer(x, attn_mask, sd, p, heads, enc=None):
+    H = x.shape[-1]
+
+    def ln(t, w, b):
+        return F.layer_norm(t, (H,), w, b, eps=1e-12)
+
+    def attention(hidden, kv, pp, mask):
+        q = hidden @ sd[f"{pp}.self.query.weight"].T + sd[f"{pp}.self.query.bias"]
+        k = kv @ sd[f"{pp}.self.key.weight"].T + sd[f"{pp}.self.key.bias"]
+        v = kv @ sd[f"{pp}.self.value.weight"].T + sd[f"{pp}.self.value.bias"]
+        B, Lq, _ = hidden.shape
+        Lk = kv.shape[1]
+        hd = H // heads
+        q = q.reshape(B, Lq, heads, hd).permute(0, 2, 1, 3)
+        k = k.reshape(B, Lk, heads, hd).permute(0, 2, 1, 3)
+        v = v.reshape(B, Lk, heads, hd).permute(0, 2, 1, 3)
+        scores = q @ k.transpose(-1, -2) / hd**0.5
+        if mask is not None:
+            scores = scores + mask
+        probs = torch.softmax(scores, dim=-1)
+        ctx = (probs @ v).permute(0, 2, 1, 3).reshape(B, Lq, H)
+        out = ctx @ sd[f"{pp}.output.dense.weight"].T + sd[f"{pp}.output.dense.bias"]
+        return ln(out + hidden, sd[f"{pp}.output.LayerNorm.weight"], sd[f"{pp}.output.LayerNorm.bias"])
+
+    x = attention(x, x, f"{p}.attention", attn_mask)
+    if enc is not None:
+        x = attention(x, enc, f"{p}.crossattention", None)
+    h = x @ sd[f"{p}.intermediate.dense.weight"].T + sd[f"{p}.intermediate.dense.bias"]
+    h = F.gelu(h)
+    h = h @ sd[f"{p}.output.dense.weight"].T + sd[f"{p}.output.dense.bias"]
+    return ln(h + x, sd[f"{p}.output.LayerNorm.weight"], sd[f"{p}.output.LayerNorm.bias"])
+
+
+def test_med_bert_layer_numerical_parity():
+    torch.manual_seed(1)
+    med = MED_CONFIGS["test-tiny"]
+    H, heads = med.hidden_size, med.num_attention_heads
+    B, L, Lk = 2, 6, 5
+    sd = {}
+    prefix = "text_encoder.encoder.layer.0"
+    for att in ("attention", "crossattention"):
+        for name in ("query", "key", "value"):
+            sd[f"{prefix}.{att}.self.{name}.weight"] = torch.randn(H, H) * 0.1
+            sd[f"{prefix}.{att}.self.{name}.bias"] = torch.randn(H) * 0.1
+        sd[f"{prefix}.{att}.output.dense.weight"] = torch.randn(H, H) * 0.1
+        sd[f"{prefix}.{att}.output.dense.bias"] = torch.randn(H) * 0.1
+        sd[f"{prefix}.{att}.output.LayerNorm.weight"] = torch.randn(H)
+        sd[f"{prefix}.{att}.output.LayerNorm.bias"] = torch.randn(H)
+    sd[f"{prefix}.intermediate.dense.weight"] = torch.randn(med.intermediate_size, H) * 0.1
+    sd[f"{prefix}.intermediate.dense.bias"] = torch.randn(med.intermediate_size) * 0.1
+    sd[f"{prefix}.output.dense.weight"] = torch.randn(H, med.intermediate_size) * 0.1
+    sd[f"{prefix}.output.dense.bias"] = torch.randn(H) * 0.1
+    sd[f"{prefix}.output.LayerNorm.weight"] = torch.randn(H)
+    sd[f"{prefix}.output.LayerNorm.bias"] = torch.randn(H)
+
+    x = torch.randn(B, L, H)
+    enc = torch.randn(B, Lk, med.encoder_width)
+    attn_mask_t = torch.zeros(B, 1, 1, L)
+    attn_mask_t[:, :, :, L - 1 :] = -1e9
+    ref = torch_bert_layer(x, attn_mask_t, sd, prefix, heads, enc=enc).detach().numpy()
+
+    np_sd = convert.to_numpy_state_dict(sd)
+    layer_params = convert.convert_med_bert(
+        {**np_sd,
+         "text_encoder.embeddings.word_embeddings.weight": np.zeros((4, H), np.float32),
+         "text_encoder.embeddings.position_embeddings.weight": np.zeros((8, H), np.float32),
+         "text_encoder.embeddings.LayerNorm.weight": np.ones(H, np.float32),
+         "text_encoder.embeddings.LayerNorm.bias": np.zeros(H, np.float32)},
+        "text_encoder", 1, with_pooler=False,
+    )["layer_0"]
+
+    from uniir_tpu.models.med import BertLayer
+
+    block = BertLayer(med)
+    mask = np.zeros((B, 1, 1, L), np.float32)
+    mask[:, :, :, L - 1 :] = -1e9
+    out = block.apply(
+        {"params": layer_params}, jnp.asarray(x.numpy()), jnp.asarray(mask), "multimodal", jnp.asarray(enc.numpy()), None
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# structural match: converted trees == model.init trees (shapes and keys)
+# ---------------------------------------------------------------------------
+
+
+def fake_clip_sd(cfg):
+    """Random OpenAI-CLIP-shaped state dict for a CLIPConfig."""
+    g = torch.Generator().manual_seed(0)
+    n_patches = (cfg.image_size // cfg.patch_size) ** 2
+    sd = {
+        "visual.conv1.weight": torch.randn(cfg.vision_width, 3, cfg.patch_size, cfg.patch_size, generator=g),
+        "visual.class_embedding": torch.randn(cfg.vision_width, generator=g),
+        "visual.positional_embedding": torch.randn(n_patches + 1, cfg.vision_width, generator=g),
+        "visual.ln_pre.weight": torch.randn(cfg.vision_width, generator=g),
+        "visual.ln_pre.bias": torch.randn(cfg.vision_width, generator=g),
+        "visual.ln_post.weight": torch.randn(cfg.vision_width, generator=g),
+        "visual.ln_post.bias": torch.randn(cfg.vision_width, generator=g),
+        "visual.proj": torch.randn(cfg.vision_width, cfg.embed_dim, generator=g),
+        "token_embedding.weight": torch.randn(cfg.vocab_size, cfg.text_width, generator=g),
+        "positional_embedding": torch.randn(cfg.context_length, cfg.text_width, generator=g),
+        "ln_final.weight": torch.randn(cfg.text_width, generator=g),
+        "ln_final.bias": torch.randn(cfg.text_width, generator=g),
+        "text_projection": torch.randn(cfg.text_width, cfg.embed_dim, generator=g),
+        "logit_scale": torch.tensor(2.6593),
+    }
+
+    def resblocks(prefix, W, n):
+        for i in range(n):
+            p = f"{prefix}.resblocks.{i}"
+            sd[f"{p}.ln_1.weight"] = torch.randn(W, generator=g)
+            sd[f"{p}.ln_1.bias"] = torch.randn(W, generator=g)
+            sd[f"{p}.ln_2.weight"] = torch.randn(W, generator=g)
+            sd[f"{p}.ln_2.bias"] = torch.randn(W, generator=g)
+            sd[f"{p}.attn.in_proj_weight"] = torch.randn(3 * W, W, generator=g)
+            sd[f"{p}.attn.in_proj_bias"] = torch.randn(3 * W, generator=g)
+            sd[f"{p}.attn.out_proj.weight"] = torch.randn(W, W, generator=g)
+            sd[f"{p}.attn.out_proj.bias"] = torch.randn(W, generator=g)
+            sd[f"{p}.mlp.c_fc.weight"] = torch.randn(4 * W, W, generator=g)
+            sd[f"{p}.mlp.c_fc.bias"] = torch.randn(4 * W, generator=g)
+            sd[f"{p}.mlp.c_proj.weight"] = torch.randn(W, 4 * W, generator=g)
+            sd[f"{p}.mlp.c_proj.bias"] = torch.randn(W, generator=g)
+
+    resblocks("visual.transformer", cfg.vision_width, cfg.vision_layers)
+    resblocks("transformer", cfg.text_width, cfg.text_layers)
+    return sd
+
+
+def test_clip_sf_conversion_structure():
+    cfg = CLIP_CONFIGS["test-tiny"]
+    sd = convert.to_numpy_state_dict(fake_clip_sd(cfg))
+    params = convert.convert_clip_sf_params(sd, cfg.vision_layers, cfg.text_layers)
+
+    model = CLIPScoreFusion(cfg)
+    init_params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, cfg.context_length), np.int32),
+        np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32),
+        np.ones(1, np.int32),
+        np.ones(1, np.int32),
+    )["params"]
+    assert tree_shapes(params) == tree_shapes(init_params)
+    # and the converted params actually run
+    emb = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        np.ones((2, cfg.context_length), np.int32),
+        np.zeros((2, cfg.image_size, cfg.image_size, 3), np.float32),
+        np.ones(2, np.int32),
+        np.ones(2, np.int32),
+    )
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def fake_blip_sd(vit_cfg, med_cfg, with_pooler):
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    W = vit_cfg.width
+    n_patches = (vit_cfg.image_size // vit_cfg.patch_size) ** 2
+    sd["visual_encoder.patch_embed.proj.weight"] = torch.randn(W, 3, vit_cfg.patch_size, vit_cfg.patch_size, generator=g)
+    sd["visual_encoder.patch_embed.proj.bias"] = torch.randn(W, generator=g)
+    sd["visual_encoder.cls_token"] = torch.randn(1, 1, W, generator=g)
+    sd["visual_encoder.pos_embed"] = torch.randn(1, n_patches + 1, W, generator=g)
+    sd["visual_encoder.norm.weight"] = torch.randn(W, generator=g)
+    sd["visual_encoder.norm.bias"] = torch.randn(W, generator=g)
+    for i in range(vit_cfg.layers):
+        p = f"visual_encoder.blocks.{i}"
+        sd[f"{p}.norm1.weight"] = torch.randn(W, generator=g)
+        sd[f"{p}.norm1.bias"] = torch.randn(W, generator=g)
+        sd[f"{p}.norm2.weight"] = torch.randn(W, generator=g)
+        sd[f"{p}.norm2.bias"] = torch.randn(W, generator=g)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * W, W, generator=g)
+        sd[f"{p}.attn.qkv.bias"] = torch.randn(3 * W, generator=g)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(W, W, generator=g)
+        sd[f"{p}.attn.proj.bias"] = torch.randn(W, generator=g)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(4 * W, W, generator=g)
+        sd[f"{p}.mlp.fc1.bias"] = torch.randn(4 * W, generator=g)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(W, 4 * W, generator=g)
+        sd[f"{p}.mlp.fc2.bias"] = torch.randn(W, generator=g)
+
+    H = med_cfg.hidden_size
+    sd["text_encoder.embeddings.word_embeddings.weight"] = torch.randn(med_cfg.vocab_size, H, generator=g)
+    sd["text_encoder.embeddings.position_embeddings.weight"] = torch.randn(med_cfg.max_position_embeddings, H, generator=g)
+    sd["text_encoder.embeddings.LayerNorm.weight"] = torch.randn(H, generator=g)
+    sd["text_encoder.embeddings.LayerNorm.bias"] = torch.randn(H, generator=g)
+    for i in range(med_cfg.num_hidden_layers):
+        p = f"text_encoder.encoder.layer.{i}"
+        for att, kv_w in (("attention", H), ("crossattention", med_cfg.encoder_width)):
+            sd[f"{p}.{att}.self.query.weight"] = torch.randn(H, H, generator=g)
+            sd[f"{p}.{att}.self.query.bias"] = torch.randn(H, generator=g)
+            sd[f"{p}.{att}.self.key.weight"] = torch.randn(H, kv_w, generator=g)
+            sd[f"{p}.{att}.self.key.bias"] = torch.randn(H, generator=g)
+            sd[f"{p}.{att}.self.value.weight"] = torch.randn(H, kv_w, generator=g)
+            sd[f"{p}.{att}.self.value.bias"] = torch.randn(H, generator=g)
+            sd[f"{p}.{att}.output.dense.weight"] = torch.randn(H, H, generator=g)
+            sd[f"{p}.{att}.output.dense.bias"] = torch.randn(H, generator=g)
+            sd[f"{p}.{att}.output.LayerNorm.weight"] = torch.randn(H, generator=g)
+            sd[f"{p}.{att}.output.LayerNorm.bias"] = torch.randn(H, generator=g)
+        sd[f"{p}.intermediate.dense.weight"] = torch.randn(med_cfg.intermediate_size, H, generator=g)
+        sd[f"{p}.intermediate.dense.bias"] = torch.randn(med_cfg.intermediate_size, generator=g)
+        sd[f"{p}.output.dense.weight"] = torch.randn(H, med_cfg.intermediate_size, generator=g)
+        sd[f"{p}.output.dense.bias"] = torch.randn(H, generator=g)
+        sd[f"{p}.output.LayerNorm.weight"] = torch.randn(H, generator=g)
+        sd[f"{p}.output.LayerNorm.bias"] = torch.randn(H, generator=g)
+    if with_pooler:
+        sd["text_encoder.pooler.dense.weight"] = torch.randn(H, H, generator=g)
+        sd["text_encoder.pooler.dense.bias"] = torch.randn(H, generator=g)
+    else:
+        sd["vision_proj.weight"] = torch.randn(16, W, generator=g)
+        sd["vision_proj.bias"] = torch.randn(16, generator=g)
+        sd["text_proj.weight"] = torch.randn(16, H, generator=g)
+        sd["text_proj.bias"] = torch.randn(16, generator=g)
+    sd["temp"] = torch.tensor(0.07)
+    return sd
+
+
+def _blip_init_inputs(vit_cfg, seq=8):
+    return (
+        {"input_ids": np.zeros((1, seq), np.int32), "attention_mask": np.ones((1, seq), np.int32)},
+        np.zeros((1, vit_cfg.image_size, vit_cfg.image_size, 3), np.float32),
+        np.ones(1, np.int32),
+        np.ones(1, np.int32),
+    )
+
+
+def test_blip_sf_conversion_structure():
+    vit_cfg, med_cfg = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    sd = convert.to_numpy_state_dict(fake_blip_sd(vit_cfg, med_cfg, with_pooler=False))
+    params = convert.convert_blip_sf_params(sd, vit_cfg.layers, med_cfg.num_hidden_layers)
+    model = BLIPScoreFusion(vit_cfg=vit_cfg, med_cfg=med_cfg, embed_dim=16)
+    init_params = model.init(jax.random.PRNGKey(0), *_blip_init_inputs(vit_cfg))["params"]
+    assert tree_shapes(params) == tree_shapes(init_params)
+
+
+def test_blip_ff_conversion_structure():
+    vit_cfg, med_cfg = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    sd = convert.to_numpy_state_dict(fake_blip_sd(vit_cfg, med_cfg, with_pooler=True))
+    params = convert.convert_blip_ff_params(sd, vit_cfg.layers, med_cfg.num_hidden_layers)
+    model = BLIPFeatureFusion(vit_cfg=vit_cfg, med_cfg=med_cfg, embed_dim=med_cfg.hidden_size)
+    init_params = model.init(jax.random.PRNGKey(0), *_blip_init_inputs(vit_cfg))["params"]
+    assert tree_shapes(params) == tree_shapes(init_params)
+
+
+def test_pos_embed_interpolation_on_resolution_change():
+    vit_cfg, med_cfg = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    sd = convert.to_numpy_state_dict(fake_blip_sd(vit_cfg, med_cfg, with_pooler=False))
+    # checkpoint at 4x4 grid (16 patches) -> target 9x9 ... use 8x8=64? grid must be square
+    params = convert.convert_blip_sf_params(sd, vit_cfg.layers, med_cfg.num_hidden_layers, num_patches=64)
+    assert params["visual_encoder"]["pos_embed"].shape == (1, 65, vit_cfg.width)

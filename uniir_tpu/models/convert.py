@@ -1,0 +1,298 @@
+"""torch -> JAX weight converters for published CLIP / UniIR / BLIP checkpoints.
+
+Maps the reference stacks' state dicts onto this framework's param pytrees:
+  * OpenAI CLIP `.pt` state dicts (the towers the reference loads at
+    clip_sf.py:25) -> CLIPScoreFusion / CLIPFeatureFusion params
+  * BLIP / UniIR `.pth` checkpoints (timm ViT + HF-style BERT + projections,
+    reference blip.py:263-289) -> BLIPScoreFusion / BLIPFeatureFusion params
+  * HF T5Stack fusion weights -> T5FusionStack params (CLIP-FF)
+
+Conventions: torch Linear stores [out, in] -> Flax Dense kernel is the
+transpose; torch conv OIHW -> Flax HWIO; fused qkv/in_proj tensors are split.
+Position embeddings are bicubically interpolated on grid-size mismatch
+(reference vit.py:359-384 equivalent -> layers.interpolate_pos_embed).
+Checkpoints saved by DDP get their "module." prefix stripped
+(reference common/utils.py checkpoint loading).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from uniir_tpu.models.layers import interpolate_pos_embed
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w).T
+
+
+def _conv_oihw_to_hwio(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str = "module.") -> Dict[str, np.ndarray]:
+    return {k[len(prefix) :] if k.startswith(prefix) else k: v for k, v in sd.items()}
+
+
+def to_numpy_state_dict(sd) -> Dict[str, np.ndarray]:
+    """torch tensors -> fp32 numpy (CLIP ships fp16; reference casts to fp32,
+    clip train.py:190)."""
+    out = {}
+    for k, v in sd.items():
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        if arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        out[k] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLIP
+# ---------------------------------------------------------------------------
+
+
+def _convert_clip_resblocks(sd: Dict[str, np.ndarray], prefix: str, n_layers: int) -> dict:
+    blocks = {}
+    for i in range(n_layers):
+        p = f"{prefix}.resblocks.{i}"
+        in_w = sd[f"{p}.attn.in_proj_weight"]  # [3W, W]
+        in_b = sd[f"{p}.attn.in_proj_bias"]
+        W = in_w.shape[1]
+        qw, kw, vw = in_w[:W], in_w[W : 2 * W], in_w[2 * W :]
+        qb, kb, vb = in_b[:W], in_b[W : 2 * W], in_b[2 * W :]
+        blocks[f"resblocks_{i}"] = {
+            "ln_1": {"scale": sd[f"{p}.ln_1.weight"], "bias": sd[f"{p}.ln_1.bias"]},
+            "ln_2": {"scale": sd[f"{p}.ln_2.weight"], "bias": sd[f"{p}.ln_2.bias"]},
+            "attn": {
+                "q_proj": {"kernel": _t(qw), "bias": qb},
+                "k_proj": {"kernel": _t(kw), "bias": kb},
+                "v_proj": {"kernel": _t(vw), "bias": vb},
+                "out_proj": {"kernel": _t(sd[f"{p}.attn.out_proj.weight"]), "bias": sd[f"{p}.attn.out_proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": _t(sd[f"{p}.mlp.c_fc.weight"]), "bias": sd[f"{p}.mlp.c_fc.bias"]},
+                "fc2": {"kernel": _t(sd[f"{p}.mlp.c_proj.weight"]), "bias": sd[f"{p}.mlp.c_proj.bias"]},
+            },
+        }
+    return blocks
+
+
+def convert_clip_vision_tower(sd: Dict[str, np.ndarray], n_layers: int, num_patches: int | None = None) -> dict:
+    """`visual.*` keys of an OpenAI CLIP state dict -> CLIPVisionTower params."""
+    pos = sd["visual.positional_embedding"]
+    if num_patches is not None and pos.shape[0] - 1 != num_patches:
+        pos = np.asarray(interpolate_pos_embed(pos, num_patches))
+    return {
+        "conv1": {"proj": {"kernel": _conv_oihw_to_hwio(sd["visual.conv1.weight"])}},
+        "class_embedding": np.asarray(sd["visual.class_embedding"]),
+        "positional_embedding": pos,
+        "ln_pre": {"scale": sd["visual.ln_pre.weight"], "bias": sd["visual.ln_pre.bias"]},
+        "transformer": _convert_clip_resblocks(sd, "visual.transformer", n_layers),
+        "ln_post": {"scale": sd["visual.ln_post.weight"], "bias": sd["visual.ln_post.bias"]},
+        "proj": np.asarray(sd["visual.proj"]),
+    }
+
+
+def convert_clip_text_tower(sd: Dict[str, np.ndarray], n_layers: int, with_projection: bool = True) -> dict:
+    out = {
+        "token_embedding": np.asarray(sd["token_embedding.weight"]),
+        "positional_embedding": np.asarray(sd["positional_embedding"]),
+        "transformer": _convert_clip_resblocks(sd, "transformer", n_layers),
+        "ln_final": {"scale": sd["ln_final.weight"], "bias": sd["ln_final.bias"]},
+    }
+    if with_projection and "text_projection" in sd:
+        out["text_projection"] = np.asarray(sd["text_projection"])
+    return out
+
+
+def convert_clip_sf_params(sd: Dict[str, np.ndarray], vision_layers: int, text_layers: int) -> dict:
+    """Full OpenAI-CLIP state dict -> CLIPScoreFusion params pytree."""
+    sd = strip_prefix(sd)
+    sd = {k[len("clip_model.") :] if k.startswith("clip_model.") else k: v for k, v in sd.items()}
+    return {
+        "visual": convert_clip_vision_tower(sd, vision_layers),
+        "text": convert_clip_text_tower(sd, text_layers, with_projection=True),
+        "logit_scale": np.asarray(sd["logit_scale"]),
+    }
+
+
+def convert_t5_fusion_params(sd: Dict[str, np.ndarray], n_layers: int, prefix: str = "t5_layers") -> dict:
+    """HF T5Stack encoder weights -> T5FusionStack params."""
+    out = {}
+    for i in range(n_layers):
+        p = f"{prefix}.block.{i}"
+        attn = {
+            "q": {"kernel": _t(sd[f"{p}.layer.0.SelfAttention.q.weight"])},
+            "k": {"kernel": _t(sd[f"{p}.layer.0.SelfAttention.k.weight"])},
+            "v": {"kernel": _t(sd[f"{p}.layer.0.SelfAttention.v.weight"])},
+            "o": {"kernel": _t(sd[f"{p}.layer.0.SelfAttention.o.weight"])},
+        }
+        if i == 0:
+            attn["relative_attention_bias"] = np.asarray(
+                sd[f"{p}.layer.0.SelfAttention.relative_attention_bias.weight"]
+            )
+        out[f"block_{i}"] = {
+            "attn": attn,
+            "attn_ln": {"weight": sd[f"{p}.layer.0.layer_norm.weight"]},
+            "wi": {"kernel": _t(sd[f"{p}.layer.1.DenseReluDense.wi.weight"])},
+            "wo": {"kernel": _t(sd[f"{p}.layer.1.DenseReluDense.wo.weight"])},
+            "ff_ln": {"weight": sd[f"{p}.layer.1.layer_norm.weight"]},
+        }
+    out["final_ln"] = {"weight": sd[f"{prefix}.final_layer_norm.weight"]}
+    return out
+
+
+def convert_clip_ff_params(sd: Dict[str, np.ndarray], vision_layers: int, text_layers: int, t5_layers: int = 2) -> dict:
+    sd = strip_prefix(sd)
+    clip_sd = {k[len("clip_model.") :]: v for k, v in sd.items() if k.startswith("clip_model.")}
+    return {
+        "visual": convert_clip_vision_tower(clip_sd, vision_layers),
+        "text": convert_clip_text_tower(clip_sd, text_layers, with_projection=False),
+        "t5_layers": convert_t5_fusion_params(sd, t5_layers),
+        "logit_scale": np.asarray(clip_sd["logit_scale"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# BLIP
+# ---------------------------------------------------------------------------
+
+
+def convert_blip_vit(sd: Dict[str, np.ndarray], prefix: str, n_layers: int, num_patches: int | None = None) -> dict:
+    pos = np.asarray(sd[f"{prefix}.pos_embed"])  # [1, L+1, W]
+    if num_patches is not None and pos.shape[1] - 1 != num_patches:
+        pos = np.asarray(interpolate_pos_embed(pos, num_patches))
+    out = {
+        "patch_embed": {
+            "proj": {
+                "kernel": _conv_oihw_to_hwio(sd[f"{prefix}.patch_embed.proj.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.patch_embed.proj.bias"]),
+            }
+        },
+        "cls_token": np.asarray(sd[f"{prefix}.cls_token"]),
+        "pos_embed": pos,
+        "norm": {"scale": sd[f"{prefix}.norm.weight"], "bias": sd[f"{prefix}.norm.bias"]},
+    }
+    for i in range(n_layers):
+        p = f"{prefix}.blocks.{i}"
+        qkv_w = sd[f"{p}.attn.qkv.weight"]  # [3W, W]
+        qkv_b = sd[f"{p}.attn.qkv.bias"]
+        W = qkv_w.shape[1]
+        out[f"blocks_{i}"] = {
+            "norm1": {"scale": sd[f"{p}.norm1.weight"], "bias": sd[f"{p}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{p}.norm2.weight"], "bias": sd[f"{p}.norm2.bias"]},
+            "attn": {
+                "q_proj": {"kernel": _t(qkv_w[:W]), "bias": qkv_b[:W]},
+                "k_proj": {"kernel": _t(qkv_w[W : 2 * W]), "bias": qkv_b[W : 2 * W]},
+                "v_proj": {"kernel": _t(qkv_w[2 * W :]), "bias": qkv_b[2 * W :]},
+                "out_proj": {"kernel": _t(sd[f"{p}.attn.proj.weight"]), "bias": sd[f"{p}.attn.proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": _t(sd[f"{p}.mlp.fc1.weight"]), "bias": sd[f"{p}.mlp.fc1.bias"]},
+                "fc2": {"kernel": _t(sd[f"{p}.mlp.fc2.weight"]), "bias": sd[f"{p}.mlp.fc2.bias"]},
+            },
+        }
+    return out
+
+
+def _convert_bert_attention(sd: Dict[str, np.ndarray], p: str) -> dict:
+    return {
+        "query": {"kernel": _t(sd[f"{p}.self.query.weight"]), "bias": sd[f"{p}.self.query.bias"]},
+        "key": {"kernel": _t(sd[f"{p}.self.key.weight"]), "bias": sd[f"{p}.self.key.bias"]},
+        "value": {"kernel": _t(sd[f"{p}.self.value.weight"]), "bias": sd[f"{p}.self.value.bias"]},
+        "output_dense": {"kernel": _t(sd[f"{p}.output.dense.weight"]), "bias": sd[f"{p}.output.dense.bias"]},
+        "output_ln": {"scale": sd[f"{p}.output.LayerNorm.weight"], "bias": sd[f"{p}.output.LayerNorm.bias"]},
+    }
+
+
+def convert_med_bert(
+    sd: Dict[str, np.ndarray], prefix: str, n_layers: int, with_pooler: bool, include_cross_attention: bool = True
+) -> dict:
+    out = {
+        "word_embeddings": np.asarray(sd[f"{prefix}.embeddings.word_embeddings.weight"]),
+        "position_embeddings": np.asarray(sd[f"{prefix}.embeddings.position_embeddings.weight"]),
+        "embeddings_ln": {
+            "scale": sd[f"{prefix}.embeddings.LayerNorm.weight"],
+            "bias": sd[f"{prefix}.embeddings.LayerNorm.bias"],
+        },
+    }
+    for i in range(n_layers):
+        p = f"{prefix}.encoder.layer.{i}"
+        layer = {
+            "attention": _convert_bert_attention(sd, f"{p}.attention"),
+            "intermediate": {"kernel": _t(sd[f"{p}.intermediate.dense.weight"]), "bias": sd[f"{p}.intermediate.dense.bias"]},
+            "output_dense": {"kernel": _t(sd[f"{p}.output.dense.weight"]), "bias": sd[f"{p}.output.dense.bias"]},
+            "output_ln": {"scale": sd[f"{p}.output.LayerNorm.weight"], "bias": sd[f"{p}.output.LayerNorm.bias"]},
+        }
+        if include_cross_attention and f"{p}.crossattention.self.query.weight" in sd:
+            layer["crossattention"] = _convert_bert_attention(sd, f"{p}.crossattention")
+        out[f"layer_{i}"] = layer
+    if with_pooler and f"{prefix}.pooler.dense.weight" in sd:
+        out["pooler"] = {"kernel": _t(sd[f"{prefix}.pooler.dense.weight"]), "bias": sd[f"{prefix}.pooler.dense.bias"]}
+    return out
+
+
+def convert_blip_sf_params(sd: Dict[str, np.ndarray], vit_layers: int, bert_layers: int, num_patches: int | None = None) -> dict:
+    sd = strip_prefix(sd)
+    return {
+        "visual_encoder": convert_blip_vit(sd, "visual_encoder", vit_layers, num_patches),
+        # BLIP-SF runs the text encoder in mode="text" only; its cross-attention
+        # params are frozen and unused in the reference (blip_sf.py:75-78) and
+        # never materialize in our functional model -- drop them.
+        "text_encoder": convert_med_bert(sd, "text_encoder", bert_layers, with_pooler=False, include_cross_attention=False),
+        "vision_proj": {"kernel": _t(sd["vision_proj.weight"]), "bias": sd["vision_proj.bias"]},
+        "text_proj": {"kernel": _t(sd["text_proj.weight"]), "bias": sd["text_proj.bias"]},
+        "temp": np.asarray(sd["temp"]).reshape(()),
+    }
+
+
+def convert_blip_ff_params(sd: Dict[str, np.ndarray], vit_layers: int, bert_layers: int, num_patches: int | None = None) -> dict:
+    sd = strip_prefix(sd)
+    return {
+        "visual_encoder": convert_blip_vit(sd, "visual_encoder", vit_layers, num_patches),
+        "text_encoder": convert_med_bert(sd, "text_encoder", bert_layers, with_pooler=True),
+        "temp": np.asarray(sd["temp"]).reshape(()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# File-level entry
+# ---------------------------------------------------------------------------
+
+_LAYERS = {
+    "ViT-B/32": (12, 12),
+    "ViT-B/16": (12, 12),
+    "ViT-L/14": (24, 12),
+    "base": (12, 12),
+    "large": (24, 12),
+}
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt)) if isinstance(ckpt, dict) else ckpt
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return to_numpy_state_dict(strip_prefix(sd))
+
+
+def convert_checkpoint(path: str, model_name: str, size_key: str, num_patches: int | None = None) -> dict:
+    """Load a published torch checkpoint and convert for `model_name`.
+
+    size_key: CLIP tower name ("ViT-L/14") or BLIP vit size ("base"/"large").
+    """
+    sd = load_torch_checkpoint(path)
+    a, b = _LAYERS[size_key]
+    if model_name == "CLIPScoreFusion":
+        return convert_clip_sf_params(sd, a, b)
+    if model_name == "CLIPFeatureFusion":
+        return convert_clip_ff_params(sd, a, b)
+    if model_name == "BLIPScoreFusion":
+        return convert_blip_sf_params(sd, a, 12, num_patches)
+    if model_name == "BLIPFeatureFusion":
+        return convert_blip_ff_params(sd, a, 12, num_patches)
+    raise ValueError(model_name)

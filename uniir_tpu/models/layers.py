@@ -25,7 +25,13 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-ACTIVATIONS: dict = {"gelu": nn.gelu, "quick_gelu": quick_gelu, "relu": nn.relu}
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact erf GELU (torch.nn.GELU default) -- weight-import parity with
+    timm ViT and HF BERT requires the exact form, not flax's tanh approx."""
+    return nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS: dict = {"gelu": gelu_exact, "quick_gelu": quick_gelu, "relu": nn.relu}
 
 
 class MultiHeadAttention(nn.Module):

@@ -110,7 +110,7 @@ class BertLayer(nn.Module):
                 hidden, enc_mask, kv=enc_hidden, deterministic=deterministic
             )
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # exact erf GELU (HF BERT parity)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(h + hidden)

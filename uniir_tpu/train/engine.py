@@ -1,0 +1,92 @@
+"""Epoch engines (reference src/models/uniir_clip/engine.py + uniir_blip/engine.py).
+
+The hot loop: host threads decode/collate ahead (MBEIRLoader prefetch), each
+batch is placed data-sharded on the mesh and fed to the jitted step.  No
+GradScaler / autocast -- bf16 needs no loss scaling.  BLIP adds the alpha
+warmup `alpha * min(1, i/len(loader))` in epoch 0 (reference blip engine :29-32).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from uniir_tpu.core.mesh import shard_batch
+from uniir_tpu.utils.logging import MetricLogger
+
+_DROP_KEYS = ("n_valid", "index_mapping", "qid_list", "task_id_list")
+
+
+def _prep_batch(batch: dict, mesh):
+    for k in _DROP_KEYS:
+        batch.pop(k, None)
+    if mesh is not None:
+        batch = shard_batch(mesh, batch)
+    return batch
+
+
+def train_one_epoch(
+    step_fn: Callable,
+    state,
+    loader,
+    epoch: int,
+    config,
+    mesh=None,
+    lr_schedule: Optional[Callable] = None,
+    is_blip: bool = False,
+    alpha: float = 0.4,
+) -> tuple:
+    """One epoch; returns (state, stats dict) (reference engine.py:7-55)."""
+    metric_logger = MetricLogger()
+    print_freq = int(getattr(config.trainer_config, "print_freq", 50))
+    header = f"Train Epoch: [{epoch}]"
+    n_batches = len(loader)
+
+    for i, batch in enumerate(metric_logger.log_every(loader, print_freq, header)):
+        batch = _prep_batch(batch, mesh)
+        if is_blip:
+            if epoch == 0:
+                alpha_i = alpha * min(1.0, i / max(1, n_batches))
+            else:
+                alpha_i = alpha
+            state, metrics = step_fn(state, batch, jnp.asarray(alpha_i, jnp.float32))
+        else:
+            state, metrics = step_fn(state, batch)
+        log = {k: float(v) for k, v in metrics.items()}
+        if lr_schedule is not None:
+            log["lr"] = float(lr_schedule(int(state.step)))
+        metric_logger.update(**log)
+
+    metric_logger.synchronize_between_processes()
+    print(f"Averaged stats: {metric_logger}")
+    return state, metric_logger.global_avg_dict()
+
+
+def eval_engine(
+    eval_step: Callable,
+    state_or_params,
+    loader,
+    config,
+    mesh=None,
+    is_blip: bool = False,
+    alpha: float = 0.4,
+) -> dict:
+    """In-batch validation (reference engine.py:58-84; blip engine :77-112).
+
+    BLIP eval is side-effect free here by construction -- no state snapshot /
+    queue reseeding needed (the reference restores the full state dict).
+    """
+    metric_logger = MetricLogger()
+    print_freq = int(getattr(config.evaluator, "print_freq", 10))
+    for batch in metric_logger.log_every(loader, print_freq, "Eval:"):
+        batch = _prep_batch(batch, mesh)
+        if is_blip:
+            metrics = eval_step(state_or_params, batch, jnp.asarray(alpha, jnp.float32))
+        else:
+            metrics = eval_step(state_or_params, batch)
+        metric_logger.update(**{k: float(v) for k, v in metrics.items()})
+    metric_logger.synchronize_between_processes()
+    print(f"Averaged eval stats: {metric_logger}")
+    return metric_logger.global_avg_dict()
