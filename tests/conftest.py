@@ -28,3 +28,19 @@ def mesh8():
     from uniir_tpu.core.mesh import make_mesh
 
     return make_mesh()
+
+
+@pytest.fixture(scope="session")
+def pipeline_root(tmp_path_factory):
+    from tests.helpers import build_pipeline_tree
+
+    root = tmp_path_factory.mktemp("uniir")
+    build_pipeline_tree(str(root))
+    return str(root)
+
+
+@pytest.fixture(scope="session")
+def bundle():
+    from tests.helpers import tiny_clip_bundle
+
+    return tiny_clip_bundle()

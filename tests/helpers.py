@@ -136,3 +136,176 @@ def simple_bert_tokenizer(max_len: int = 16, vocab_size: int = 97):
         return {"input_ids": input_ids, "attention_mask": mask}
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Shared pipeline fixture helpers (used by e2e + tools tests)
+# ---------------------------------------------------------------------------
+
+def build_pipeline_tree(root: str, n_queries: int = 12, n_cands: int = 24):
+    """M-BEIR tree in the reference directory layout + qrels, under `root`."""
+    import json as _json
+    from uniir_tpu.data.registry import get_mbeir_task_id
+
+    mbeir = os.path.join(root, "mbeir_data")
+    build_mbeir_fixture(mbeir, n_queries=n_queries, n_cands=n_cands)
+    os.makedirs(os.path.join(mbeir, "query/test"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "query/train"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "cand_pool/local"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "qrels/test"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "instructions"), exist_ok=True)
+    os.rename(os.path.join(mbeir, "queries.jsonl"), os.path.join(mbeir, "query/test/mbeir_mscoco_task0_test.jsonl"))
+    os.rename(os.path.join(mbeir, "cand_pool.jsonl"), os.path.join(mbeir, "cand_pool/local/mbeir_mscoco_task0_cand_pool.jsonl"))
+    os.rename(os.path.join(mbeir, "instructions.tsv"), os.path.join(mbeir, "instructions/query_instructions.tsv"))
+
+    with open(os.path.join(mbeir, "query/test/mbeir_mscoco_task0_test.jsonl")) as f:
+        queries = [_json.loads(l) for l in f]
+    with open(os.path.join(mbeir, "cand_pool/local/mbeir_mscoco_task0_cand_pool.jsonl")) as f:
+        pool = {_json.loads(l)["did"]: _json.loads(l) for l in f}
+    with open(os.path.join(mbeir, "qrels/test/mbeir_mscoco_task0_test_qrels.txt"), "w") as f:
+        for q in queries:
+            for did in q["pos_cand_list"]:
+                task_id = get_mbeir_task_id(q["query_modality"], pool[did]["modality"]) or 0
+                f.write(f"{q['qid']} 0 {did} 1 {task_id}\n")
+    # mirror the test split as a train split (hard-neg mining + analyst tests)
+    import shutil
+
+    os.makedirs(os.path.join(mbeir, "train"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "test"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "qrels/train"), exist_ok=True)
+    os.makedirs(os.path.join(mbeir, "cand_pool/union_pool"), exist_ok=True)
+    test_q = os.path.join(mbeir, "query/test/mbeir_mscoco_task0_test.jsonl")
+    shutil.copy(test_q, os.path.join(mbeir, "query/train/mbeir_mscoco_task0_train.jsonl"))
+    # the reference reads train queries from mbeir_data/train/ (hard negs) and
+    # split-level query files from mbeir_data/<split>/ (analyst)
+    shutil.copy(test_q, os.path.join(mbeir, "train/mbeir_mscoco_task0_train.jsonl"))
+    shutil.copy(test_q, os.path.join(mbeir, "test/mbeir_mscoco_task0_test.jsonl"))
+    shutil.copy(
+        os.path.join(mbeir, "qrels/test/mbeir_mscoco_task0_test_qrels.txt"),
+        os.path.join(mbeir, "qrels/train/mbeir_mscoco_task0_train_qrels.txt"),
+    )
+    shutil.copy(
+        os.path.join(mbeir, "cand_pool/local/mbeir_mscoco_task0_cand_pool.jsonl"),
+        os.path.join(mbeir, "cand_pool/mbeir_mscoco_task0_cand_pool.jsonl"),
+    )
+    shutil.copy(
+        os.path.join(mbeir, "cand_pool/local/mbeir_mscoco_task0_cand_pool.jsonl"),
+        os.path.join(mbeir, "cand_pool/union_pool/mbeir_union_test_cand_pool.jsonl"),
+    )
+    return mbeir
+
+
+def make_eval_config(root: str, embed_dim: int = 16, image_size: int = 32):
+    from uniir_tpu.core.config import Config
+
+    return Config.from_dict(
+        {
+            "uniir_dir": root,
+            "mbeir_data_dir": os.path.join(root, "mbeir_data"),
+            "seed": 2023,
+            "experiment": {"path_suffix": "CLIP_SF/Tiny/Instruct/InBatch/"},
+            "data_config": {
+                "image_size": f"{image_size}, {image_size}",
+                "enable_query_instruct": True,
+                "shuffle_cand": False,
+                "train_dir_name": "query/train",
+                "val_dir_name": "query/val",
+                "test_dir_name": "query/test",
+                "cand_pool_dir_name": "cand_pool/local",
+                "query_instruct_path": "instructions/query_instructions.tsv",
+            },
+            "dataloader_config": {"num_workers": 2, "batch_size": 8},
+            "embed_config": {
+                "embed_dir_name": "embed",
+                "use_fp16": True,
+                "train_datasets_config": {
+                    "enable_embed": True,
+                    "datasets_name": ["mscoco_task0"],
+                    "correspond_cand_pools_name": ["mscoco_task0"],
+                },
+                "val_datasets_config": {"enable_embed": False},
+                "test_datasets_config": {
+                    "enable_embed": True,
+                    "datasets_name": ["mscoco_task0"],
+                    "correspond_cand_pools_name": ["mscoco_task0"],
+                },
+                "cand_pools_config": {
+                    "enable_embed": True,
+                    "embed_union_pool": True,
+                    "cand_pools_name_to_embed": ["mscoco_task0"],
+                },
+            },
+            "index_config": {
+                "embed_dir_name": "embed",
+                "index_dir_name": "index",
+                "cand_pools_config": {"enable_idx": True, "cand_pools_name_to_idx": ["mscoco_task0", "union"]},
+                "faiss_config": {"dim": embed_dim, "idx_type": "Flat", "metric": "METRIC_INNER_PRODUCT"},
+            },
+            "retrieval_config": {
+                "qrel_dir_name": "qrels",
+                "embed_dir_name": "embed",
+                "index_dir_name": "index",
+                "query_dir_name": "query",
+                "candidate_dir_name": "cand_pool/local",
+                "results_dir_name": "retrieval_results",
+                "hard_negs_dir_name": "hard_negs",
+                "num_hard_negs": 3,
+                "k": 8,
+                "raw_retrieval": False,
+                "retrieve_image_text_pairs": False,
+                "write_to_tsv": True,
+                "train_datasets_config": {
+                    "enable_retrieve": True,
+                    "datasets_name": ["mscoco_task0"],
+                    "correspond_cand_pools_name": ["mscoco_task0"],
+                    "correspond_qrels_name": ["mscoco_task0"],
+                    "correspond_metrics_name": ["Recall@1, Recall@5"],
+                },
+                "val_datasets_config": {"enable_retrieve": False},
+                "test_datasets_config": {
+                    "enable_retrieve": True,
+                    "datasets_name": ["mscoco_task0", "mscoco_task0"],
+                    "correspond_cand_pools_name": ["mscoco_task0", "union"],
+                    "correspond_qrels_name": ["mscoco_task0", "mscoco_task0"],
+                    "correspond_metrics_name": ["Recall@1, Recall@5, Recall@10"] * 2,
+                },
+            },
+            "analysis_config": {
+                "qrel_dir_name": "qrels",
+                "results_dir_name": "retrieval_results",
+                "write_to_tsv": True,
+                "train_datasets_config": {"enable_retrieve": False},
+                "val_datasets_config": {"enable_retrieve": False},
+                "test_datasets_config": {
+                    "enable_retrieve": True,
+                    "datasets_name": ["mscoco_task0"],
+                    "correspond_cand_pools_name": ["mscoco_task0"],
+                    "correspond_qrels_name": ["mscoco_task0"],
+                    "correspond_metrics_name": ["Recall@1, Recall@5, Recall@10"],
+                },
+            },
+        }
+    )
+
+
+def tiny_clip_bundle(embed_dim: int = 16, image_size: int = 32):
+    import jax
+    from uniir_tpu.models.clip import CLIP_CONFIGS
+    from uniir_tpu.models.clip_sf import CLIPScoreFusion
+    from uniir_tpu.models.registry import ModelBundle
+
+    cfg = CLIP_CONFIGS["test-tiny"]
+    model = CLIPScoreFusion(cfg)
+    tok = simple_tokenizer(max_len=cfg.context_length, vocab_size=cfg.vocab_size)
+    img_fn = identity_image_transform(cfg.image_size)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        tok(["x", "y"]),
+        np.zeros((2, cfg.image_size, cfg.image_size, 3), np.float32),
+        np.ones(2, np.int32),
+        np.ones(2, np.int32),
+    )["params"]
+    return ModelBundle(
+        "CLIPScoreFusion", model, params, tok, img_fn, img_fn,
+        (cfg.image_size, cfg.image_size), cfg.embed_dim,
+    )

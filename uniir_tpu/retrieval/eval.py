@@ -161,7 +161,78 @@ def write_tsv_report(eval_results: List[dict], tsv_file_path: str) -> None:
     print(f"Retriever: Results saved to {tsv_file_path}")
 
 
-def run_retrieval(config, mesh=None) -> List[dict]:
+def get_raw_retrieved_candidates(
+    queries_path: str,
+    candidates_path: str,
+    retrieved_indices,
+    hashed_query_ids,
+    complement_retriever=None,
+) -> dict:
+    """Raw {query, candidates} dump for UniRAG (reference :235-309).
+
+    With a complement retriever, each single-modality candidate is re-queried
+    against the pool to fetch its image/text complement so results form
+    (image, text) pairs (reference :264-308; README:147-151).
+    """
+    import json as _json
+
+    qid_to_queries = {}
+    with open(queries_path, "r") as f:
+        for l in f:
+            q = _json.loads(l.strip())
+            assert q["qid"] not in qid_to_queries, "qids must be unique"
+            qid_to_queries[q["qid"]] = q
+
+    did_to_candidates = {}
+    with open(candidates_path, "r") as f:
+        for l in f:
+            c = _json.loads(l.strip())
+            assert c["did"] not in did_to_candidates, "dids must be unique"
+            did_to_candidates[c["did"]] = c
+
+    complement_modalities = {"text": "image", "image": "text"}
+    retrieved_dict = {}
+    complement_queries_list = []
+    for idx, indices in enumerate(retrieved_indices):
+        qid = unhash_qid(hashed_query_ids[idx])
+        query = qid_to_queries[qid]
+        retrieved_cands = [did_to_candidates[unhash_did(h)] for h in indices]
+        retrieved_dict[qid] = {"query": query, "candidates": retrieved_cands}
+        if complement_retriever:
+            complement_queries = [
+                (c.get("modality"), c.get("txt"), c.get("img_path"), complement_modalities[c.get("modality")])
+                for c in retrieved_cands
+                if c["modality"] in complement_modalities
+            ]
+            complement_queries_list.append((qid, complement_queries))
+            complement_retriever.add_queries(complement_queries)
+
+    if complement_retriever:
+        retrieved_complements = complement_retriever.retrieve(k=10)
+        start = 0
+        for qid, complement_queries in complement_queries_list:
+            complement_candidates = []
+            end = start + len(complement_queries)
+            comp_cands = retrieved_complements[start:end]
+            start = end
+            for i, cq in enumerate(complement_queries):
+                complement_cand = None
+                q_modality = cq[0]
+                for cand in comp_cands[i]:
+                    if cand["modality"] == complement_modalities[q_modality]:
+                        # must not be the original query itself (reference :295-302)
+                        if cand.get("img_path") and cand.get("img_path") != retrieved_dict[qid]["query"].get("query_img_path"):
+                            complement_cand = cand
+                            break
+                        if cand.get("txt") and cand.get("txt") != retrieved_dict[qid]["query"].get("query_txt"):
+                            complement_cand = cand
+                            break
+                complement_candidates.append(complement_cand)
+            retrieved_dict[qid]["complement_candidates"] = complement_candidates
+    return retrieved_dict
+
+
+def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) -> List[dict]:
     """Full retrieval sweep driven by retrieval.yaml (reference run_retrieval :312-603)."""
     uniir_dir = config.uniir_dir
     mbeir_data_dir = config.mbeir_data_dir
@@ -175,8 +246,10 @@ def run_retrieval(config, mesh=None) -> List[dict]:
     exp_results_dir = os.path.join(uniir_dir, results_dir_name, expt_dir_name)
     exp_run_file_dir = os.path.join(exp_results_dir, "run_files")
     exp_tsv_results_dir = os.path.join(exp_results_dir, "final_tsv")
+    exp_retrieved_cands_dir = os.path.join(exp_results_dir, "retrieved_candidates")
     os.makedirs(exp_run_file_dir, exist_ok=True)
     os.makedirs(exp_tsv_results_dir, exist_ok=True)
+    os.makedirs(exp_retrieved_cands_dir, exist_ok=True)
 
     splits = []
     for split_name in ("train", "val", "test"):
@@ -226,6 +299,39 @@ def run_retrieval(config, mesh=None) -> List[dict]:
             run_file_path = os.path.join(exp_run_file_dir, f"{run_id}_run.txt")
             write_run_file(run_file_path, retrieved_dist, retrieved_indices, hashed_query_ids, qid_to_taskid, run_id)
             print(f"Retriever: Run file saved to {run_file_path}")
+
+            # Raw retrieved candidates for UniRAG (reference :446-473)
+            if getattr(retrieval_config, "raw_retrieval", False):
+                import json as _json
+
+                queries_path = os.path.join(
+                    mbeir_data_dir, retrieval_config.query_dir_name, split, f"mbeir_{dataset_name}_{split}.jsonl"
+                )
+                candidates_path = os.path.join(
+                    mbeir_data_dir, retrieval_config.candidate_dir_name, f"mbeir_{cand_pool_name}_{split}_cand_pool.jsonl"
+                )
+                if not os.path.exists(candidates_path):
+                    candidates_path = os.path.join(
+                        mbeir_data_dir, retrieval_config.candidate_dir_name, f"mbeir_{cand_pool_name}_cand_pool.jsonl"
+                    )
+                complement_retriever = None
+                if getattr(retrieval_config, "retrieve_image_text_pairs", False):
+                    from uniir_tpu.retrieval.interactive import InteractiveRetriever
+
+                    cand_index_path = os.path.join(cand_index_dir, f"mbeir_{cand_pool_name}_cand_pool.index")
+                    # MSCOCO supports both i->t and t->i queries (reference :458)
+                    complement_retriever = InteractiveRetriever(
+                        cand_index_path, candidates_path, "MSCOCO", query_embedder_config, bundle=bundle, mesh=mesh
+                    )
+                retrieved_dict = get_raw_retrieved_candidates(
+                    queries_path, candidates_path, retrieved_indices, hashed_query_ids, complement_retriever
+                )
+                retrieved_file_path = os.path.join(exp_retrieved_cands_dir, f"{run_id}_retrieved.jsonl")
+                with open(retrieved_file_path, "w") as rf:
+                    for _, v in retrieved_dict.items():
+                        _json.dump(v, rf)
+                        rf.write("\n")
+                print(f"Retriever: Retrieved file saved to {retrieved_file_path}")
 
             per_task = evaluate_recall(retrieved_indices, hashed_query_ids, qrel, qid_to_taskid, metric_recall_list)
             for task_id, metrics in per_task.items():
