@@ -1,6 +1,7 @@
 import json
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -120,3 +121,21 @@ def test_qrel_runfile_tsv_roundtrip(tmp_path):
     rows = [l.split("\t") for l in open(tsv_path).read().strip().split("\n")]
     assert rows[0][:4] == ["TaskID", "Task", "Dataset", "Split"]
     assert rows[1][6] == "1.0" and rows[1][8] == "0.5"  # single-pool value + union column
+
+
+def test_bucketed_topk_exact():
+    from uniir_tpu.ops.topk import bucketed_topk
+    import jax
+    rng = np.random.default_rng(7)
+    scores = rng.normal(size=(5, 4096)).astype(np.float32)
+    for k in (1, 7, 10):
+        v, i = bucketed_topk(jnp.asarray(scores), k)
+        rv, ri = jax.lax.top_k(jnp.asarray(scores), k)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv), atol=1e-6)
+        # indices must point at the same values (ties may reorder)
+        np.testing.assert_allclose(np.take_along_axis(scores, np.asarray(i), 1), np.asarray(rv), atol=1e-6)
+    # clustered case: all top values in ONE bucket (the k<=buckets guarantee)
+    scores2 = np.zeros((2, 4096), np.float32)
+    scores2[:, 256:266] = np.arange(10, 0, -1)
+    v, i = bucketed_topk(jnp.asarray(scores2), 10)
+    assert set(np.asarray(i[0]).tolist()) == set(range(256, 266))

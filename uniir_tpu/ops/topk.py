@@ -41,6 +41,31 @@ def _merge_topk(scores_a, idx_a, scores_b, idx_b, k: int):
     return top_scores, jnp.take_along_axis(idx, pos, axis=1)
 
 
+def bucketed_topk(scores: jnp.ndarray, k: int, bucket: int = 128):
+    """Exact top-k over the last axis via bucket-max prefiltering.
+
+    k result elements occupy at most k buckets, so top-k of the per-bucket
+    maxima identifies a superset of buckets containing the true top-k; a
+    small top-k over those k*bucket gathered elements is then exact.  This
+    replaces one huge TopK custom-call (slow sort-based op on TPU) with a
+    fast VPU max-reduction + two tiny TopKs.
+    Returns (values [Q, k], indices [Q, k] into the scores axis).
+    """
+    Q, N = scores.shape
+    if N % bucket != 0 or N <= k * bucket:
+        return jax.lax.top_k(scores, k)
+    n_buckets = N // bucket
+    tiles = scores.reshape(Q, n_buckets, bucket)
+    bucket_max = jnp.max(tiles, axis=-1)  # [Q, n_buckets]
+    _, bucket_ids = jax.lax.top_k(bucket_max, k)  # [Q, k]
+    cand = jnp.take_along_axis(tiles, bucket_ids[:, :, None], axis=1)  # [Q, k, bucket]
+    cand = cand.reshape(Q, k * bucket)
+    vals, pos = jax.lax.top_k(cand, k)
+    idx = bucket_ids[:, :, None] * bucket + jnp.arange(bucket)[None, None, :]
+    idx = idx.reshape(Q, k * bucket)
+    return vals, jnp.take_along_axis(idx, pos, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k", "chunk_size", "valid_n"))
 def chunked_topk(
     queries: jnp.ndarray,
@@ -64,12 +89,16 @@ def chunked_topk(
     n_chunks = -(-N // chunk_size)
     pad = n_chunks * chunk_size - N
     if pad:
+        # Device-side pad copies the whole pool; large pools should arrive
+        # pre-padded to a chunk multiple (see pad_pool_for_chunks) so this
+        # branch only triggers for small inputs.
         pool = jnp.concatenate([pool, jnp.zeros((pad, D), pool.dtype)], axis=0)
-    pool_chunks = pool.reshape(n_chunks, chunk_size, D)
 
     q = queries.astype(jnp.bfloat16)
 
-    def chunk_topk(chunk, chunk_idx):
+    def chunk_topk(chunk_idx):
+        # dynamic_slice view of the pool -> no reshaped copy in HBM
+        chunk = jax.lax.dynamic_slice_in_dim(pool, chunk_idx * chunk_size, chunk_size, axis=0)
         # MXU matmul with fp32 accumulation
         scores = jax.lax.dot_general(
             q,
@@ -80,30 +109,34 @@ def chunked_topk(
         base = chunk_idx * chunk_size
         col = jax.lax.broadcasted_iota(jnp.int32, (Q, chunk_size), 1) + base
         scores = jnp.where(col < valid_n, scores, NEG_INF)
-        c_s, c_pos = jax.lax.top_k(scores, min(k, chunk_size))
-        c_i = jnp.take_along_axis(col, c_pos, axis=1)
+        c_s, c_pos = bucketed_topk(scores, min(k, chunk_size))
+        c_i = c_pos + base
         if c_s.shape[1] < k:  # k > chunk_size: pad out
-            pad = k - c_s.shape[1]
-            c_s = jnp.concatenate([c_s, jnp.full((Q, pad), NEG_INF, jnp.float32)], axis=1)
-            c_i = jnp.concatenate([c_i, jnp.full((Q, pad), -1, jnp.int32)], axis=1)
+            padk = k - c_s.shape[1]
+            c_s = jnp.concatenate([c_s, jnp.full((Q, padk), NEG_INF, jnp.float32)], axis=1)
+            c_i = jnp.concatenate([c_i, jnp.full((Q, padk), -1, jnp.int32)], axis=1)
         return c_s, c_i
 
-    def scan_step(carry, inp):
+    def body(i, carry):
         best_s, best_i = carry
-        chunk, chunk_idx = inp
-        c_s, c_i = chunk_topk(chunk, chunk_idx)
-        best_s, best_i = _merge_topk(best_s, best_i, c_s, c_i, k)
-        return (best_s, best_i), None
+        c_s, c_i = chunk_topk(i)
+        return _merge_topk(best_s, best_i, c_s, c_i, k)
 
     # Seed the carry from chunk 0 (also keeps the carry axis-varying inside
     # shard_map bodies, where a constant init would be unvarying).
-    init = chunk_topk(pool_chunks[0], jnp.int32(0))
+    init = chunk_topk(jnp.int32(0))
     if n_chunks == 1:
         return init
-    (scores, indices), _ = jax.lax.scan(
-        scan_step, init, (pool_chunks[1:], jnp.arange(1, n_chunks, dtype=jnp.int32))
-    )
-    return scores, indices
+    return jax.lax.fori_loop(1, n_chunks, body, init)
+
+
+def pad_pool_for_chunks(pool: np.ndarray, chunk_size: int) -> np.ndarray:
+    """Host-side pad to a chunk multiple (avoids an 8GB+ device-side copy)."""
+    N, D = pool.shape
+    pad = (-N) % chunk_size
+    if pad == 0:
+        return pool
+    return np.concatenate([pool, np.zeros((pad, D), pool.dtype)], axis=0)
 
 
 def sharded_topk(

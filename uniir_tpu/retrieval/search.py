@@ -13,7 +13,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from uniir_tpu.ops.topk import chunked_topk, sharded_topk
+from uniir_tpu.ops.topk import chunked_topk, pad_pool_for_chunks, sharded_topk
 from uniir_tpu.retrieval.index import DenseIndex, normalize_l2
 
 
@@ -30,13 +30,19 @@ def search_dense_index(
     k = num_cand_to_retrieve
     batch_size = batch_size or q.shape[0]
 
+    multi_device = mesh is not None and np.prod(list(mesh.shape.values())) > 1
+    chunk = min(chunk_size, index.ntotal)
+    pool_host = index.embeds if multi_device else pad_pool_for_chunks(index.embeds, chunk)
+    # one H2D transfer for the whole sweep (the pool can be multi-GB)
+    pool_dev = pool_host if multi_device else jax.device_put(pool_host)
+
     all_scores, all_idx = [], []
     for i in range(0, q.shape[0], batch_size):
         qb = q[i : i + batch_size]
-        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
-            s, idx = sharded_topk(qb, index.embeds, k, mesh, chunk_size=chunk_size)
+        if multi_device:
+            s, idx = sharded_topk(qb, pool_dev, k, mesh, chunk_size=chunk_size, valid_n=index.ntotal)
         else:
-            s, idx = chunked_topk(qb, index.embeds, k, chunk_size=min(chunk_size, index.ntotal))
+            s, idx = chunked_topk(qb, pool_dev, k, chunk_size=chunk, valid_n=index.ntotal)
         all_scores.append(np.asarray(s))
         all_idx.append(np.asarray(idx))
     scores = np.vstack(all_scores)
