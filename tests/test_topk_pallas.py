@@ -1,0 +1,51 @@
+"""Fused Pallas top-k kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniir_tpu.ops.topk import topk_numpy_reference
+from uniir_tpu.ops.topk_pallas import CHUNK, GROUP, _bucket_rows, bucket_max_scores, pallas_topk
+from uniir_tpu.retrieval.index import normalize_l2
+
+RNG = np.random.default_rng(0)
+POOL = jnp.asarray(normalize_l2(RNG.normal(size=(4 * CHUNK, 64)).astype(np.float32)), jnp.bfloat16)
+QUERIES = normalize_l2(RNG.normal(size=(16, 64)).astype(np.float32))
+
+
+def test_bucket_rows_partition():
+    ids = jnp.arange(4 * CHUNK // GROUP, dtype=jnp.int32)
+    rows = np.asarray(_bucket_rows(ids)).reshape(-1)
+    assert sorted(rows.tolist()) == list(range(4 * CHUNK))  # exact partition
+
+
+def test_bucket_max_correct():
+    maxima = np.asarray(bucket_max_scores(jnp.asarray(QUERIES), POOL, interpret=True)).astype(np.float32)
+    scores = QUERIES @ np.asarray(POOL, np.float32).T
+    ids = jnp.arange(maxima.shape[1], dtype=jnp.int32)
+    rows = np.asarray(_bucket_rows(ids))  # [NB, GROUP]
+    ref = scores[:, rows].max(axis=-1)
+    np.testing.assert_allclose(maxima, ref, atol=2e-2)
+
+
+def test_pallas_topk_matches_bruteforce():
+    v, i = pallas_topk(jnp.asarray(QUERIES), POOL, k=5, interpret=True)
+    rv, ri = topk_numpy_reference(QUERIES, np.asarray(POOL, np.float32), 5)
+    for r in range(16):
+        assert len(set(np.asarray(i[r]).tolist()) & set(ri[r].tolist())) >= 4
+    np.testing.assert_allclose(np.asarray(v), rv, atol=2e-2)
+
+
+def test_pallas_topk_valid_n():
+    v, i = pallas_topk(jnp.asarray(QUERIES), POOL, k=5, valid_n=3000, interpret=True)
+    assert (np.asarray(i) < 3000).all()
+    rv, ri = topk_numpy_reference(QUERIES, np.asarray(POOL, np.float32)[:3000], 5)
+    for r in range(16):
+        assert len(set(np.asarray(i[r]).tolist()) & set(ri[r].tolist())) >= 4
+
+
+def test_pallas_topk_q_padding():
+    # Q not a multiple of the tile: padding is applied and trimmed
+    q = normalize_l2(RNG.normal(size=(5, 64)).astype(np.float32))
+    v, i = pallas_topk(jnp.asarray(q), POOL, k=3, interpret=True)
+    assert v.shape == (5, 3)

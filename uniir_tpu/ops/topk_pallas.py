@@ -1,0 +1,154 @@
+"""Pallas fused retrieval kernel: streamed matmul + bucket-max epilogue.
+
+The exact-top-k pipeline over an HBM-resident pool (the FAISS replacement's
+hot path):
+
+  1. `bucket_max_scores` (Pallas): grid over pool chunks; each step DMAs a
+     [CHUNK, D] bf16 pool block into VMEM (auto double-buffered by the
+     pallas pipeline), runs the [Q, D] x [D, CHUNK] matmul on the MXU with
+     fp32 accumulation, and reduces each *strided* bucket of GROUP rows to
+     its max -- only [Q, N/GROUP] bucket maxima are written to HBM.  The
+     [Q, N] score matrix never exists.  Buckets are strided (member m of
+     bucket (i, l) is pool row i*CHUNK + m*128 + l) because a max over the
+     sublane axis of a [Q, GROUP, 128] tile is layout-native on the VPU,
+     while a 16-wide minor-axis reduce is not; any partition of the pool
+     into buckets preserves exactness.
+  2. `pallas_topk` epilogue (XLA): k results occupy at most k buckets, so a
+     (hierarchical) top-k over the maxima identifies <=k candidate buckets
+     per query; their k*GROUP pool rows are gathered and rescored in fp32
+     for the final exact ranking.
+
+HBM traffic ~= one pool read (8.6 GB for the 5.6M x 768 pool) + ~180 MB of
+maxima, vs ~3x pool size for the chunked XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHUNK = 2048  # pool rows per grid step (VMEM: 2048 x 768 x 2B = 3 MB)
+GROUP = CHUNK // 128  # bucket size (strided members)
+Q_TILE = 256  # query rows per grid step (keeps the fp32 score tile in VMEM)
+NEG = -3e38  # python float: jnp scalars cannot be captured by pallas kernels
+
+
+def _bucket_max_kernel(q_ref, pool_ref, valid_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    q = q_ref[...]  # [QT, D] bf16
+    chunk_rows = pool_ref[...]  # [CHUNK, D] bf16
+    scores = jax.lax.dot_general(
+        q, chunk_rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [QT, CHUNK] fp32
+    Q = scores.shape[0]
+    tiles = scores.reshape(Q, GROUP, 128)
+    # mask padding rows: global row = i*CHUNK + m*128 + l
+    base = pl.program_id(0) * CHUNK
+    m_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 1)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
+    row = base + m_idx * 128 + l_idx
+    tiles = jnp.where(row < valid_ref[0, 0], tiles, jnp.float32(NEG))
+    out_ref[...] = jnp.max(tiles, axis=1).astype(out_ref.dtype)  # [Q, 128]
+
+
+def bucket_max_scores(
+    queries: jnp.ndarray,
+    pool: jnp.ndarray,
+    valid_n: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[Q, D] x [N, D] -> strided-bucket score maxima [Q, N/GROUP] (bf16).
+
+    N must be a multiple of CHUNK (pad the pool host-side; padding rows are
+    masked via valid_n).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, D = queries.shape
+    N = pool.shape[0]
+    assert N % CHUNK == 0, f"pool rows must be a multiple of {CHUNK}"
+    n_chunks = N // CHUNK
+    valid = jnp.asarray([[N if valid_n is None else valid_n]], jnp.int32)
+
+    # tile large query batches; pad to a Q_TILE multiple
+    qt = min(Q_TILE, Q) if Q % min(Q_TILE, Q) == 0 else Q_TILE
+    pad_q = (-Q) % qt
+    q_in = queries.astype(jnp.bfloat16)
+    if pad_q:
+        q_in = jnp.concatenate([q_in, jnp.zeros((pad_q, D), jnp.bfloat16)], axis=0)
+    n_q = q_in.shape[0] // qt
+
+    out = pl.pallas_call(
+        _bucket_max_kernel,
+        out_shape=jax.ShapeDtypeStruct((q_in.shape[0], n_chunks * 128), jnp.bfloat16),
+        # chunk outermost, q-tile innermost: the pool streams through HBM once
+        grid=(n_chunks, n_q),
+        in_specs=[
+            pl.BlockSpec((qt, D), lambda i, qi: (qi, 0)),
+            pl.BlockSpec((CHUNK, D), lambda i, qi: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i, qi: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((qt, 128), lambda i, qi: (qi, i)),
+        interpret=interpret,
+    )(q_in, pool.astype(jnp.bfloat16), valid)
+    return out[:Q]
+
+
+def _bucket_rows(bucket_ids: jnp.ndarray) -> jnp.ndarray:
+    """Global pool rows of each strided bucket: [..., GROUP]."""
+    chunk_idx = bucket_ids // 128
+    lane = bucket_ids % 128
+    m = jnp.arange(GROUP, dtype=bucket_ids.dtype)
+    return chunk_idx[..., None] * CHUNK + m * 128 + lane[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "valid_n", "interpret"))
+def pallas_topk(
+    queries: jnp.ndarray,
+    pool: jnp.ndarray,
+    k: int,
+    valid_n: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k inner-product search with the fused Pallas kernel.
+
+    Returns (scores [Q, k] fp32, indices [Q, k] int32).  Requires
+    pool rows % CHUNK == 0 (use ops.topk.pad_pool_for_chunks) and Q >= 8.
+    """
+    Q, D = queries.shape
+    N = pool.shape[0]
+    valid_n = N if valid_n is None else valid_n
+
+    maxima = bucket_max_scores(queries, pool, valid_n=valid_n, interpret=interpret)  # [Q, NB] bf16
+    NB = maxima.shape[1]
+
+    # hierarchical selection over the maxima (avoids one big TopK call)
+    if NB % 128 == 0 and NB > k * 128:
+        tiles = maxima.reshape(Q, NB // 128, 128)
+        tile_max = jnp.max(tiles, axis=-1).astype(jnp.float32)  # [Q, NB/128]
+        _, tids = jax.lax.top_k(tile_max, k)
+        cand = jnp.take_along_axis(tiles, tids[:, :, None], axis=1).reshape(Q, k * 128).astype(jnp.float32)
+        _, pos = jax.lax.top_k(cand, k)
+        flat = (tids[:, :, None] * 128 + jnp.arange(128)[None, None, :]).reshape(Q, k * 128)
+        bucket_ids = jnp.take_along_axis(flat, pos, axis=1)  # [Q, k]
+    else:
+        _, bucket_ids = jax.lax.top_k(maxima.astype(jnp.float32), k)
+
+    # gather candidate pool rows and rescore in fp32-accumulated bf16
+    row_ids = _bucket_rows(bucket_ids).reshape(Q, k * GROUP)  # [Q, k*GROUP]
+    cand_rows = pool[row_ids]  # [Q, k*GROUP, D]
+    scores = jnp.einsum(
+        "qd,qnd->qn",
+        queries.astype(jnp.bfloat16),
+        cand_rows.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(row_ids < valid_n, scores, NEG)
+    vals, pos = jax.lax.top_k(scores, k)
+    return vals, jnp.take_along_axis(row_ids, pos, axis=1).astype(jnp.int32)

@@ -14,6 +14,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from uniir_tpu.ops.topk import chunked_topk, pad_pool_for_chunks, sharded_topk
+from uniir_tpu.ops.topk_pallas import CHUNK as PALLAS_CHUNK, pallas_topk
 from uniir_tpu.retrieval.index import DenseIndex, normalize_l2
 
 
@@ -31,8 +32,14 @@ def search_dense_index(
     batch_size = batch_size or q.shape[0]
 
     multi_device = mesh is not None and np.prod(list(mesh.shape.values())) > 1
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = on_tpu and not multi_device and index.ntotal > PALLAS_CHUNK
+
     chunk = min(chunk_size, index.ntotal)
-    pool_host = index.embeds if multi_device else pad_pool_for_chunks(index.embeds, chunk)
+    if multi_device:
+        pool_host = index.embeds
+    else:
+        pool_host = pad_pool_for_chunks(index.embeds, PALLAS_CHUNK if use_pallas else chunk)
     # one H2D transfer for the whole sweep (the pool can be multi-GB)
     pool_dev = pool_host if multi_device else jax.device_put(pool_host)
 
@@ -41,6 +48,10 @@ def search_dense_index(
         qb = q[i : i + batch_size]
         if multi_device:
             s, idx = sharded_topk(qb, pool_dev, k, mesh, chunk_size=chunk_size, valid_n=index.ntotal)
+        elif use_pallas:
+            # fused Pallas kernel: matmul + bucket-max epilogue, ~2-4x the
+            # chunked XLA path on v5e (see ops/topk_pallas.py)
+            s, idx = pallas_topk(qb, pool_dev, k, valid_n=index.ntotal)
         else:
             s, idx = chunked_topk(qb, pool_dev, k, chunk_size=chunk, valid_n=index.ntotal)
         all_scores.append(np.asarray(s))
