@@ -50,29 +50,38 @@ def main() -> None:
     img_b = rng.normal(size=(batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
     mask_b = np.ones((batch,), np.int32)
 
-    @jax.jit
-    def embed(params, txt, img, mask):
-        out = model.apply({"params": params}, txt, img, mask, mask).astype(jnp.float16)
-        # tiny reduction fetched to host each iter: block_until_ready alone is
-        # not a reliable completion barrier over remote-TPU relays
-        return out, jnp.sum(out.astype(jnp.float32))
-
     txt_b, img_b, mask_b = jax.device_put((txt_b, img_b, mask_b))
 
-    # warmup (compile)
-    for _ in range(warmup):
-        _, s = embed(params, txt_b, img_b, mask_b)
-        float(s)
+    # Device-time measurement: run the op `reps` times inside one jit (scan
+    # with a data dependency so XLA can't CSE the repeats) and difference the
+    # 1-rep and N-rep walls.  A per-call host fetch is floored by the
+    # dispatch+fetch round trip (~36 ms over remote-TPU relays), and
+    # block_until_ready alone is not a reliable completion barrier there.
+    def make_embed(reps):
+        @jax.jit
+        def f(params, txt, img, mask):
+            def body(carry, _):
+                emb = model.apply({"params": params}, txt, carry, mask, mask)
+                return carry + emb[0, 0] * 1e-9, emb.astype(jnp.float16)
+            _, embs = jax.lax.scan(body, img, None, length=reps)
+            return embs
+        return f
 
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _, s = embed(params, txt_b, img_b, mask_b)
-        float(s)  # host fetch forces completion
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    reps = max(2, iters // 2)
+    f1, fn = make_embed(1), make_embed(reps)
 
-    pairs_per_sec = batch / dt
+    def run(f):
+        times = []
+        for _ in range(max(2, warmup)):
+            t0 = time.perf_counter()
+            out = f(params, txt_b, img_b, mask_b)
+            float(jnp.sum(out[0, :2].astype(jnp.float32)))  # host fetch = barrier
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t1, tn = run(f1), run(fn)
+    per_op = (tn - t1) / (reps - 1) if reps > 1 else t1
+    pairs_per_sec = batch / per_op
 
     A100_BASELINE_PAIRS_PER_SEC = 890.0
     vs_baseline = pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC if on_tpu else 0.0
