@@ -41,13 +41,11 @@ class Mode(Enum):
 
 
 def load_jsonl(path: str) -> list:
-    entries = []
-    with open(path, "r") as fin:
-        for line in fin:
-            line = line.strip()
-            if line:
-                entries.append(json.loads(line))
-    return entries
+    """jsonl -> list of entries via uniir_tpu.native when built (parse phase
+    releases the GIL so loader threads keep decoding images), else json."""
+    from uniir_tpu import native
+
+    return native.load_jsonl(path)
 
 
 def save_jsonl(entries: list, path: str) -> None:
