@@ -49,3 +49,18 @@ def test_pallas_topk_q_padding():
     q = normalize_l2(RNG.normal(size=(5, 64)).astype(np.float32))
     v, i = pallas_topk(jnp.asarray(q), POOL, k=3, interpret=True)
     assert v.shape == (5, 3)
+
+
+def test_attention_pallas_matches_reference():
+    from uniir_tpu.ops.attention_pallas import mha_nocausal, mha_reference
+
+    rng = np.random.default_rng(3)
+    B, L, H, D = 2, 13, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32), jnp.bfloat16)
+    o1 = mha_nocausal(q, k, v, interpret=True)
+    o2 = mha_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(o1, np.float32), np.asarray(o2, np.float32), atol=2e-2
+    )
