@@ -71,3 +71,15 @@ def test_pipeline_with_mesh(pipeline_root, bundle, mesh8):
     assert len(results) >= 1
     for r in results:
         assert 0.0 <= r["Recall@5"] <= 1.0
+
+
+def test_embed_with_mesh(pipeline_root, bundle, mesh8):
+    """Embedding with batches data-sharded over the 8-device mesh."""
+    config = make_eval_config(pipeline_root)
+    config.experiment.path_suffix = "CLIP_SF/TinyMesh/Instruct/InBatch/"
+    written = generate_embeds_for_config(bundle, config, mesh=mesh8)
+    # candidate-pool embeddings are deterministic (no instruction sampling):
+    # the mesh-sharded run must match the unsharded artifacts bit-for-bit
+    q = np.load(os.path.join(pipeline_root, "embed", config.experiment.path_suffix, "cand_pool", "mbeir_mscoco_task0_cand_pool_embed.npy"))
+    ref = np.load(os.path.join(pipeline_root, "embed", "CLIP_SF/Tiny/Instruct/InBatch/", "cand_pool", "mbeir_mscoco_task0_cand_pool_embed.npy"))
+    np.testing.assert_allclose(q.astype(np.float32), ref.astype(np.float32), atol=2e-3)

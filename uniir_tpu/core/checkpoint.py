@@ -38,6 +38,17 @@ def load_params(path: str, like: Any) -> Any:
     return serialization.from_bytes(like, data)
 
 
+def load_train_params(state_msgpack_path: str, like: Any) -> Any:
+    """Extract just the `params` subtree from an epoch train-state checkpoint
+    (eval loading path: reference build_model_from_config loads fine-tuned
+    weights from the training checkpoint, src/common/utils.py:82-149)."""
+    from flax.serialization import msgpack_restore
+
+    with open(state_msgpack_path, "rb") as f:
+        tree = msgpack_restore(f.read())
+    return serialization.from_state_dict(like, tree["params"])
+
+
 def _state_to_pytree(state) -> dict:
     return {
         "step": state.step,

@@ -262,6 +262,7 @@ def convert_blip_ff_params(sd: Dict[str, np.ndarray], vit_layers: int, bert_laye
 # ---------------------------------------------------------------------------
 
 _LAYERS = {
+    "test-tiny": (2, 2),
     "ViT-B/32": (12, 12),
     "ViT-B/16": (12, 12),
     "ViT-L/14": (24, 12),

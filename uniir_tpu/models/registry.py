@@ -153,12 +153,36 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
     else:
         raise ValueError(f"Unknown model name {name!r}; expected one of {MODEL_NAMES}")
 
+    # published torch checkpoints (OpenAI CLIP .pt / BLIP-UniIR .pth)
+    torch_ckpt = getattr(config.model, "pretrained_torch_ckpt", None)
+    if torch_ckpt:
+        from uniir_tpu.models.convert import convert_checkpoint
+
+        if name.startswith("CLIP"):
+            size_key = config.model.clip_vision_model_name
+        else:
+            size_key = getattr(config.model, "vit", "base")
+        n_patches = (bundle.image_size[0] // 16) ** 2 if name.startswith("BLIP") else None
+        bundle.params = convert_checkpoint(torch_ckpt, name, size_key, num_patches=n_patches)
+        print(f"Converted {name} torch checkpoint from {torch_ckpt}")
+
     ckpt_cfg = getattr(config.model, "ckpt_config", None)
     ckpt_name = getattr(ckpt_cfg, "ckpt_name", "") if ckpt_cfg else ""
     if ckpt_name:
         ckpt_path = os.path.join(config.uniir_dir, ckpt_cfg.ckpt_dir, ckpt_name)
-        from uniir_tpu.core.checkpoint import load_params
+        if os.path.isdir(ckpt_path):  # epoch train-state checkpoint dir
+            params_file = os.path.join(ckpt_path, "state.msgpack")
+            from uniir_tpu.core.checkpoint import load_train_params
 
-        bundle.params = load_params(ckpt_path, like=bundle.params)
+            bundle.params = load_train_params(params_file, like=bundle.params)
+        elif ckpt_path.endswith((".pth", ".pt")):
+            from uniir_tpu.models.convert import convert_checkpoint
+
+            size_key = config.model.clip_vision_model_name if name.startswith("CLIP") else getattr(config.model, "vit", "base")
+            bundle.params = convert_checkpoint(ckpt_path, name, size_key)
+        else:
+            from uniir_tpu.core.checkpoint import load_params
+
+            bundle.params = load_params(ckpt_path, like=bundle.params)
         print(f"Loaded {name} checkpoint from {ckpt_path}")
     return bundle

@@ -118,7 +118,14 @@ def generate_embeds_for_config(bundle, config, mesh=None, embed_step: Optional[C
                 )
                 collator = MBEIRMainCollator(tokenizer=bundle.tokenizer, image_size=image_size, mode=Mode.EVAL)
 
-            sampler = ContiguousSampler(len(dataset))
+            # Multi-host: each process embeds its contiguous shard and writes
+            # a part file; process 0 concatenates (the reference's tmp-file
+            # variant, mbeir_embedder.py:123-191, replacing the NCCL
+            # gather-to-rank-0 dance).
+            import jax
+
+            n_proc, proc = jax.process_count(), jax.process_index()
+            sampler = ContiguousSampler(len(dataset), num_replicas=n_proc, rank=proc)
             loader = MBEIRLoader(
                 dataset,
                 collator,
@@ -135,13 +142,31 @@ def generate_embeds_for_config(bundle, config, mesh=None, embed_step: Optional[C
             os.makedirs(out_dir, exist_ok=True)
             embed_path = os.path.join(out_dir, f"mbeir_{mid_name}_{split_name}_embed.npy")
             id_path = os.path.join(out_dir, f"mbeir_{mid_name}_{split_name}_ids.npy")
-            np.save(embed_path, embedding_list.astype(np.float16))
-            np.save(id_path, id_list)
+            if n_proc == 1:
+                np.save(embed_path, embedding_list.astype(np.float16))
+                np.save(id_path, id_list)
+            else:
+                np.save(embed_path + f".part{proc}", embedding_list.astype(np.float16))
+                np.save(id_path + f".part{proc}", id_list)
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"embed_{mid_name}_{split_name}")
+                if proc == 0:
+                    embeds = [np.load(f"{embed_path}.part{r}.npy") for r in range(n_proc)]
+                    ids = [np.load(f"{id_path}.part{r}.npy") for r in range(n_proc)]
+                    np.save(embed_path, np.concatenate(embeds, axis=0))
+                    np.save(id_path, np.concatenate(ids, axis=0))
+                    for r in range(n_proc):
+                        os.remove(f"{embed_path}.part{r}.npy")
+                        os.remove(f"{id_path}.part{r}.npy")
+                multihost_utils.sync_global_devices(f"embed_{mid_name}_{split_name}_done")
             print(f"Embedder Log: Saved embeddings to {embed_path} ({len(id_list)} rows).")
             written.extend([embed_path, id_path])
 
         # Union pool = concat of per-pool artifacts (reference :386-461)
-        if split_name == "cand_pool" and getattr(cand_cfg, "embed_union_pool", False):
+        import jax as _jax
+
+        if split_name == "cand_pool" and getattr(cand_cfg, "embed_union_pool", False) and _jax.process_index() == 0:
             all_embeddings, all_ids = [], []
             out_dir = os.path.join(uniir_dir, embed_dir_name, expt_dir_name, split_name)
             for cand_pool_name in pool_names:
