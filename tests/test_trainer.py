@@ -127,3 +127,17 @@ def test_trainer_main_blip(train_root, mesh8):
     # queue advanced: 2 steps x global bs 8 = 16 = queue_size -> wrapped to 0
     assert int(state.queue_ptr) == 0
     assert np.asarray(state.queue_idx >= 0).sum() == 16  # all slots filled with real dids
+
+
+def test_load_train_params_from_epoch_ckpt(train_root, mesh8):
+    """Eval-style loading: extract params from an epoch train-state checkpoint."""
+    from uniir_tpu.core.checkpoint import load_train_params
+
+    bundle = clip_bundle()
+    ckpt = os.path.join(train_root, "checkpoint/test/test_sf_epoch_1/state.msgpack")
+    assert os.path.exists(ckpt)
+    params = load_train_params(ckpt, like=bundle.params)
+    # loaded params differ from fresh init (they were trained)
+    fresh = jax.tree_util.tree_leaves(bundle.params)[0]
+    loaded = jax.tree_util.tree_leaves(params)[0]
+    assert not np.allclose(np.asarray(fresh), np.asarray(loaded))

@@ -67,7 +67,7 @@ def build_clip_ff(config, rng=None):
     model_config = config.model
     cfg = CLIP_CONFIGS[model_config.clip_vision_model_name]
     dtype = jnp.bfloat16 if getattr(model_config, "bf16", True) else jnp.float32
-    model = CLIPFeatureFusion(cfg, dtype=dtype)
+    model = CLIPFeatureFusion(cfg, dtype=dtype, remat=bool(getattr(model_config, "remat", False)))
     params = _init_params(model, (cfg.image_size, cfg.image_size), cfg.context_length, rng)
 
     tokenizer = CLIPTokenizer(bpe_path=getattr(model_config, "clip_bpe_path", None))

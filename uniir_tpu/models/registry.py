@@ -64,7 +64,8 @@ def build_clip_sf(config, rng=None) -> ModelBundle:
     clip_name = model_config.clip_vision_model_name
     cfg = CLIP_CONFIGS[clip_name]
     dtype = jnp.bfloat16 if getattr(model_config, "bf16", True) else jnp.float32
-    model = CLIPScoreFusion(cfg, dtype=dtype)
+    remat = bool(getattr(model_config, "remat", False))
+    model = CLIPScoreFusion(cfg, dtype=dtype, remat=remat)
     params = _init_params(model, (cfg.image_size, cfg.image_size), cfg.context_length, rng)
 
     bpe_path = getattr(model_config, "clip_bpe_path", None)
