@@ -90,6 +90,7 @@ class CLIPVisionTower(nn.Module):
     pool: str = "cls"  # "cls" | "none"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +115,7 @@ class CLIPVisionTower(nn.Module):
             act="quick_gelu",
             dtype=self.dtype,
             remat=self.remat,
+            quant=self.quant,
             name="transformer",
         )(x)
         proj = self.param(
@@ -132,6 +134,7 @@ class CLIPTextTower(nn.Module):
     pool: str = "eot"  # "eot" | "none"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
@@ -151,6 +154,7 @@ class CLIPTextTower(nn.Module):
             act="quick_gelu",
             dtype=self.dtype,
             remat=self.remat,
+            quant=self.quant,
             name="transformer",
         )(x, mask=causal)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)

@@ -20,10 +20,11 @@ class CLIPScoreFusion(nn.Module):
     cfg: CLIPConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    quant: bool = False  # int8 Dense projections (inference/serving path)
 
     def setup(self):
-        self.visual = CLIPVisionTower(self.cfg, pool="cls", dtype=self.dtype, remat=self.remat)
-        self.text = CLIPTextTower(self.cfg, pool="eot", dtype=self.dtype, remat=self.remat)
+        self.visual = CLIPVisionTower(self.cfg, pool="cls", dtype=self.dtype, remat=self.remat, quant=self.quant)
+        self.text = CLIPTextTower(self.cfg, pool="eot", dtype=self.dtype, remat=self.remat, quant=self.quant)
         self.logit_scale = self.param("logit_scale", clip_logit_scale_init, ())
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:

@@ -34,6 +34,16 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
 ACTIVATIONS: dict = {"gelu": gelu_exact, "quick_gelu": quick_gelu, "relu": nn.relu}
 
 
+def make_dense(features: int, *, dtype, quant: bool, name: str, use_bias: bool = True, kernel_init=None):
+    """nn.Dense or its int8 twin (uniir_tpu.ops.quant.QuantDense)."""
+    if quant:
+        from uniir_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    kwargs = {} if kernel_init is None else {"kernel_init": kernel_init}
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name, **kwargs)
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with optional cross-attention K/V source.
 
@@ -47,6 +57,7 @@ class MultiHeadAttention(nn.Module):
     kv_width: Optional[int] = None
     dtype: Dtype = jnp.float32
     out_init: Callable = nn.initializers.xavier_uniform()
+    quant: bool = False  # int8 projections (inference path)
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None):
@@ -54,9 +65,9 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.width // self.num_heads
         kv_src = x if kv is None else kv
 
-        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(kv_src)
-        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(kv_src)
+        q = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="q_proj")(x)
+        k = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="k_proj")(kv_src)
+        v = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="v_proj")(kv_src)
 
         B, Lq = x.shape[0], x.shape[1]
         Lk = kv_src.shape[1]
@@ -72,7 +83,7 @@ class MultiHeadAttention(nn.Module):
             logits = jnp.where(mask, logits, big_neg)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, self.width)
-        return nn.Dense(self.width, dtype=self.dtype, kernel_init=self.out_init, name="out_proj")(out)
+        return make_dense(self.width, dtype=self.dtype, quant=self.quant, name="out_proj", kernel_init=self.out_init)(out)
 
 
 class MLP(nn.Module):
@@ -80,12 +91,13 @@ class MLP(nn.Module):
     hidden_width: int
     act: str = "gelu"
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_width, dtype=self.dtype, name="fc1")(x)
+        x = make_dense(self.hidden_width, dtype=self.dtype, quant=self.quant, name="fc1")(x)
         x = ACTIVATIONS[self.act](x)
-        return nn.Dense(self.width, dtype=self.dtype, name="fc2")(x)
+        return make_dense(self.width, dtype=self.dtype, quant=self.quant, name="fc2")(x)
 
 
 class TransformerBlock(nn.Module):
@@ -96,13 +108,14 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     act: str = "gelu"
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        x = x + MultiHeadAttention(self.width, self.num_heads, dtype=self.dtype, name="attn")(h, mask=mask)
+        x = x + MultiHeadAttention(self.width, self.num_heads, dtype=self.dtype, quant=self.quant, name="attn")(h, mask=mask)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        x = x + MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(h)
+        x = x + MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, quant=self.quant, name="mlp")(h)
         return x
 
 
@@ -120,6 +133,7 @@ class Transformer(nn.Module):
     act: str = "gelu"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -133,6 +147,7 @@ class Transformer(nn.Module):
                 self.mlp_ratio,
                 act=self.act,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"resblocks_{i}",
             )(x, mask)
         return x

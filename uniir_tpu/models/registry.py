@@ -186,4 +186,16 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
 
             bundle.params = load_params(ckpt_path, like=bundle.params)
         print(f"Loaded {name} checkpoint from {ckpt_path}")
+
+    # int8 serving mode: quantize the loaded weights and swap in the quant
+    # module (CLIP family; see uniir_tpu/ops/quant.py)
+    if getattr(config.model, "int8", False):
+        if name != "CLIPScoreFusion":
+            raise NotImplementedError("int8 inference currently covers CLIPScoreFusion")
+        from uniir_tpu.ops.quant import quantize_tree
+
+        cfg = CLIP_CONFIGS[config.model.clip_vision_model_name]
+        bundle.model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16, quant=True)
+        bundle.params = quantize_tree(bundle.params)
+        print(f"Quantized {name} to int8 serving mode")
     return bundle
