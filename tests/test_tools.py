@@ -104,3 +104,33 @@ def test_config_updater(tmp_path):
     data = yaml.safe_load(p.read_text())
     assert data["experiment"]["instruct_status"] == "Instruct"
     assert data["data_config"]["enable_query_instruct"] is True
+
+
+def test_complement_retrieval_pairs(artifacts, pipeline_root, bundle):
+    """UniRAG complement retrieval: single-modality candidates get their
+    image/text complement via a second interactive retrieval pass."""
+    config = make_eval_config(pipeline_root)
+    config.retrieval_config.raw_retrieval = True
+    config.retrieval_config.retrieve_image_text_pairs = True
+    config.retrieval_config.train_datasets_config.enable_retrieve = False
+    tcfg = config.retrieval_config.test_datasets_config
+    tcfg.datasets_name = ["mscoco_task0"]
+    tcfg.correspond_cand_pools_name = ["mscoco_task0"]
+    tcfg.correspond_qrels_name = ["mscoco_task0"]
+    tcfg.correspond_metrics_name = ["Recall@1, Recall@5"]
+
+    from uniir_tpu.retrieval.eval import run_retrieval
+
+    run_retrieval(config, query_embedder_config=config, bundle=bundle)
+    cands_dir = os.path.join(
+        pipeline_root, "retrieval_results", config.experiment.path_suffix, "retrieved_candidates"
+    )
+    files = [f for f in os.listdir(cands_dir) if f.endswith("_k5_retrieved.jsonl")]
+    rows = [json.loads(l) for l in open(os.path.join(cands_dir, files[0]))]
+    assert all("complement_candidates" in r for r in rows)
+    # complements have the opposite modality of their candidate (when found)
+    flips = {"text": "image", "image": "text"}
+    for r in rows:
+        for cand, comp in zip(r["candidates"], r["complement_candidates"]):
+            if comp is not None and cand["modality"] in flips:
+                assert comp["modality"] == flips[cand["modality"]]

@@ -11,8 +11,13 @@ projections and MLPs, ~95%% of encoder FLOPs) run as int8 x int8 -> int32 with:
 Attention score/value einsums, layernorms, embeddings and the patch conv stay
 bf16.  Training is unaffected (quantization is a pytree transform applied
 after loading weights).  Accuracy: embedding cosine similarity vs the bf16
-path is checked in tests; retrieval rankings tolerate the small perturbation
-the same way the bf16-vs-fp32 rounding does.
+path is checked in tests (0.9996 on CLIP-L at batch 256).
+
+STATUS: accuracy-validated; measured v5e CLIP-L throughput is 627 vs 615
+pairs/s for bf16 -- the unfused dynamic activation quantization (abs-max
+reduce + round/clip, extra HBM passes) currently eats the 2x int8 MXU rate.
+The win requires fusing quantization into the preceding op (Pallas epilogue),
+planned; the bf16 path stays the default.
 """
 
 from __future__ import annotations
