@@ -141,3 +141,16 @@ def test_load_train_params_from_epoch_ckpt(train_root, mesh8):
     fresh = jax.tree_util.tree_leaves(bundle.params)[0]
     loaded = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(fresh), np.asarray(loaded))
+
+
+def test_gradient_accumulation(train_root, mesh8):
+    """accumulation_steps > 1: optimizer applies every k-th step (optax.MultiSteps)."""
+    config = make_train_config(train_root, epochs=1)
+    config.trainer_config.gradient_accumulation_steps = 2
+    bundle = clip_bundle()
+    before = np.asarray(jax.tree_util.tree_leaves(bundle.params)[0]).copy()
+    out = trainer.main(config, mesh=mesh8, bundle=bundle)
+    # 2 loader steps with accum 2 -> exactly one real optimizer update
+    after = np.asarray(jax.tree_util.tree_leaves(out["state"].params)[0])
+    assert not np.allclose(before, after)
+    assert np.isfinite(float(out["stats"]["train_loss"]))

@@ -132,10 +132,11 @@ class MBEIRLoader:
 
     def __iter__(self):
         batches = self._batches_of_indices()
+        # one executor for the whole epoch (per-batch pool spin-up costs ~ms)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def make_batch(indices: np.ndarray, n_valid: int):
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                items = list(pool.map(self.dataset.__getitem__, indices.tolist()))
+            items = list(pool.map(self.dataset.__getitem__, indices.tolist()))
             out = self.collate_fn(items)
             if isinstance(out, dict):
                 out["n_valid"] = np.int32(n_valid)
@@ -173,3 +174,4 @@ class MBEIRLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
