@@ -3,7 +3,7 @@
 Mirrors the reference configs_scripts surface (inbatch.yaml / embed.yaml /
 index.yaml / retrieval.yaml + run scripts) with TPU-native settings: no
 torchrun/CUDA knobs, one environment for the whole pipeline, batch sizes
-stated per-chip.  Run `python configs/generate_configs.py` to regenerate.
+stated as GLOBAL batch over the mesh.  Run `python configs/generate_configs.py` to regenerate.
 """
 
 from __future__ import annotations
@@ -29,27 +29,30 @@ METRICS_BY_DATASET = {
 }
 DEFAULT_METRICS = "Recall@1, Recall@5, Recall@10"
 
+# train_batch is the GLOBAL batch over the whole mesh (the trainer runs one
+# process driving all chips; the reference's per-GPU sizes x 8 GPUs are the
+# equivalents: CLIP-SF L 105x8=840, BLIP 115x8=920).
 MODELS = {
     "clip_sf": {
         "name": "CLIPScoreFusion", "short_name": "CLIP_SF", "family": "clip",
-        "sizes": {"base": {"clip_vision_model_name": "ViT-B/32", "dim": 512, "train_batch": 512},
-                  "large": {"clip_vision_model_name": "ViT-L/14", "dim": 768, "train_batch": 105}},
+        "sizes": {"base": {"clip_vision_model_name": "ViT-B/32", "dim": 512, "train_batch": 4096},
+                  "large": {"clip_vision_model_name": "ViT-L/14", "dim": 768, "train_batch": 840}},
     },
     "clip_ff": {
         "name": "CLIPFeatureFusion", "short_name": "CLIP_FF", "family": "clip",
-        "sizes": {"base": {"clip_vision_model_name": "ViT-B/32", "dim": 512, "train_batch": 256},
-                  "large": {"clip_vision_model_name": "ViT-L/14", "dim": 768, "train_batch": 64}},
+        "sizes": {"base": {"clip_vision_model_name": "ViT-B/32", "dim": 512, "train_batch": 2048},
+                  "large": {"clip_vision_model_name": "ViT-L/14", "dim": 768, "train_batch": 512}},
         "t5_learning_rate": 1e-4,
     },
     "blip_sf": {
         "name": "BLIPScoreFusion", "short_name": "BLIP_SF", "family": "blip",
-        "sizes": {"base": {"vit": "base", "dim": 768, "train_batch": 256, "queue_size": 57344},
-                  "large": {"vit": "large", "dim": 768, "train_batch": 115, "queue_size": 57960}},
+        "sizes": {"base": {"vit": "base", "dim": 768, "train_batch": 2048, "queue_size": 57344},
+                  "large": {"vit": "large", "dim": 768, "train_batch": 920, "queue_size": 57960}},
     },
     "blip_ff": {
         "name": "BLIPFeatureFusion", "short_name": "BLIP_FF", "family": "blip",
-        "sizes": {"base": {"vit": "base", "dim": 768, "train_batch": 256, "queue_size": 57344},
-                  "large": {"vit": "large", "dim": 768, "train_batch": 115, "queue_size": 57960,
+        "sizes": {"base": {"vit": "base", "dim": 768, "train_batch": 2048, "queue_size": 57344},
+                  "large": {"vit": "large", "dim": 768, "train_batch": 920, "queue_size": 57960,
                             "vit_grad_ckpt": True, "vit_ckpt_layer": 12}},
     },
 }

@@ -75,7 +75,8 @@ def generate_embeds_for_config(bundle, config, mesh=None, embed_step: Optional[C
     num_workers = config.dataloader_config.num_workers
 
     if embed_step is None:
-        embed_step = make_embed_step(bundle.model, out_dtype=np.float16)
+        use_fp16 = bool(getattr(embed_config, "use_fp16", True))
+        embed_step = make_embed_step(bundle.model, out_dtype=np.float16 if use_fp16 else np.float32)
 
     splits = []
     for split_name in ("train", "val", "test"):
@@ -143,10 +144,10 @@ def generate_embeds_for_config(bundle, config, mesh=None, embed_step: Optional[C
             embed_path = os.path.join(out_dir, f"mbeir_{mid_name}_{split_name}_embed.npy")
             id_path = os.path.join(out_dir, f"mbeir_{mid_name}_{split_name}_ids.npy")
             if n_proc == 1:
-                np.save(embed_path, embedding_list.astype(np.float16))
+                np.save(embed_path, embedding_list)
                 np.save(id_path, id_list)
             else:
-                np.save(embed_path + f".part{proc}", embedding_list.astype(np.float16))
+                np.save(embed_path + f".part{proc}", embedding_list)
                 np.save(id_path + f".part{proc}", id_list)
                 from jax.experimental import multihost_utils
 

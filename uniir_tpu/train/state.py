@@ -91,6 +91,12 @@ class MomentumTrainState(struct.PyTreeNode):
         queue_size % global_batch == 0 (same invariant as the reference).
         """
         bs = query_feats.shape[0]
+        # dynamic_update_slice clamps out-of-range starts, which would silently
+        # corrupt the ring buffer -- enforce the reference's invariant
+        # queue_size %% global_batch == 0 (reference blip_sf.py:359)
+        assert self.queue_query.shape[0] % bs == 0, (
+            f"queue_size {self.queue_query.shape[0]} must be divisible by global batch {bs}"
+        )
         ptr = self.queue_ptr
         qq = jax.lax.dynamic_update_slice(self.queue_query, query_feats.astype(self.queue_query.dtype), (ptr, 0))
         qc = jax.lax.dynamic_update_slice(self.queue_cand, cand_feats.astype(self.queue_cand.dtype), (ptr, 0))
