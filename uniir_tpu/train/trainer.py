@@ -165,11 +165,32 @@ def build_train_setup(config, mesh=None, bundle=None):
     }
 
 
+def _setup_file_logging(config) -> None:
+    """Mirror the reference's train.log file handler (train.py:353-368)."""
+    import logging
+
+    logger_cfg = getattr(config, "logger_config", None)
+    if logger_cfg is None or not is_main_process():
+        return
+    out_dir = os.path.join(config.uniir_dir, logger_cfg.logger_out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, logger_cfg.logger_out_file_name)
+    logging.basicConfig(
+        format="[%(asctime)s] %(levelname)s: %(message)s",
+        level=logging.INFO,
+        datefmt="%d-%m-%Y %H:%M:%S",
+        handlers=[logging.FileHandler(path), logging.StreamHandler()],
+    )
+    logging.getLogger("PIL").setLevel(logging.WARNING)
+    logging.getLogger(__name__).info(config.to_dict())
+
+
 def main(config, mesh=None, bundle=None, wandb_run=None) -> dict:
     maybe_initialize_distributed()
     if mesh is None:
         mesh = make_mesh()
     np.random.seed(int(config.seed) + jax.process_index())
+    _setup_file_logging(config)
 
     setup = build_train_setup(config, mesh=mesh, bundle=bundle)
     state = setup["state"]
