@@ -96,3 +96,40 @@ def test_clip_ff_train_step(mesh8, model_and_params):
         state, m = step(state, sharded)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_t5_stack_parity_with_hf():
+    """T5FusionStack matches transformers' T5Stack numerically through the
+    weight converter (the reference instantiates HF T5Stack, clip_ff.py:80-98)."""
+    import torch
+    from transformers.models.t5 import T5Config
+    from transformers.models.t5.modeling_t5 import T5Stack
+
+    from uniir_tpu.models import convert
+    from uniir_tpu.models.t5_fusion import T5FusionConfig, T5FusionStack
+
+    conf = T5Config()
+    conf.num_layers = 2
+    conf.num_decoder_layers = 2
+    conf.num_heads = 4
+    conf.d_model = 32
+    conf.d_kv = 8
+    conf.d_ff = 64
+    conf.dropout_rate = 0.0
+    conf.is_decoder = False
+    conf.use_cache = False
+    torch.manual_seed(0)
+    hf = T5Stack(conf)
+    hf.eval()
+
+    x = torch.randn(2, 9, 32) * 0.5
+    with torch.no_grad():
+        ref = hf(inputs_embeds=x, use_cache=False, return_dict=True).last_hidden_state.numpy()
+
+    sd = convert.to_numpy_state_dict({f"t5_layers.{k}": v for k, v in hf.state_dict().items()})
+    params = convert.convert_t5_fusion_params(sd, 2)
+    ours = T5FusionStack(
+        T5FusionConfig(d_model=32, d_kv=8, num_heads=4, d_ff=64, num_layers=2, dropout_rate=0.0)
+    )
+    out = ours.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)

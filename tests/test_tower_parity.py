@@ -92,3 +92,46 @@ def test_text_tower_full_parity():
     tower = CLIPTextTower(CFG, pool="eot")
     out = tower.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, tokens.numpy().astype(np.int32))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+
+
+def test_med_full_model_parity():
+    """MedBertModel end-to-end (embeddings + layers + pooler) vs torch."""
+    from tests.test_convert import fake_blip_sd
+    from uniir_tpu.models.blip_vit import BLIP_VIT_CONFIGS
+    from uniir_tpu.models.med import MED_CONFIGS, MedBertModel
+    from tests.test_convert import torch_bert_layer
+
+    med = MED_CONFIGS["test-tiny"]
+    vit = BLIP_VIT_CONFIGS["test-tiny"]
+    torch.manual_seed(3)
+    sd = {k: v * 0.1 if v.ndim >= 2 else v for k, v in fake_blip_sd(vit, med, with_pooler=True).items()}
+    np_sd = convert.to_numpy_state_dict(sd)
+    params = convert.convert_med_bert(np_sd, "text_encoder", med.num_hidden_layers, with_pooler=True)
+
+    B, L, Lk = 2, 7, 5
+    ids = torch.randint(1, med.vocab_size - 1, (B, L))
+    attn = torch.ones(B, L, dtype=torch.long)
+    attn[:, -2:] = 0
+    enc = torch.randn(B, Lk, med.encoder_width) * 0.5
+
+    # torch reference: embeddings -> layers (with cross-attn) -> pooler
+    H = med.hidden_size
+    x = sd["text_encoder.embeddings.word_embeddings.weight"][ids]
+    x = x + sd["text_encoder.embeddings.position_embeddings.weight"][:L]
+    x = F.layer_norm(x, (H,), sd["text_encoder.embeddings.LayerNorm.weight"], sd["text_encoder.embeddings.LayerNorm.bias"], eps=1e-12)
+    mask = (1.0 - attn[:, None, None, :].float()) * -1e9
+    for i in range(med.num_hidden_layers):
+        x = torch_bert_layer(x, mask, sd, f"text_encoder.encoder.layer.{i}", med.num_attention_heads, enc=enc)
+    pooled_ref = torch.tanh(x[:, 0] @ sd["text_encoder.pooler.dense.weight"].T + sd["text_encoder.pooler.dense.bias"])
+
+    model = MedBertModel(med, add_pooling_layer=True)
+    hidden, pooled = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        ids.numpy().astype(np.int32),
+        attn.numpy().astype(np.int32),
+        jnp.asarray(enc.numpy()),
+        None,
+        "multimodal",
+    )
+    np.testing.assert_allclose(np.asarray(hidden), x.detach().numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(pooled), pooled_ref.detach().numpy(), atol=3e-4)
