@@ -14,6 +14,12 @@ on ICI, and the gradient w.r.t. every rank's positives flows by construction
 
 Static layout (see uniir_tpu.data.collator): rows [0,bs) queries,
 [bs,2bs) positives, [2bs, 2bs+bs*neg) hard negatives.
+
+Memory note: under the data-sharded mesh XLA partitions ``q @ p.T`` so each
+device holds only its [bs/n_dev, bs] logits block against the gathered
+positives -- the row-sharded formulation DisCo-CLIP (arXiv:2304.08480)
+implements manually in torch falls out of the SPMD partitioner here.  For
+batches beyond HBM, chunked/recomputed losses (Inf-CL style) are future work.
 """
 
 from __future__ import annotations
