@@ -154,3 +154,29 @@ def test_gradient_accumulation(train_root, mesh8):
     after = np.asarray(jax.tree_util.tree_leaves(out["state"].params)[0])
     assert not np.allclose(before, after)
     assert np.isfinite(float(out["stats"]["train_loss"]))
+
+
+def test_trainer_main_blip_ff(train_root, mesh8):
+    """BLIP-FeatureFusion end-to-end: cross-attention fusion + momentum/queues."""
+    from uniir_tpu.models.blip_ff import BLIPFeatureFusion
+
+    vit, med = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    model = BLIPFeatureFusion(vit_cfg=vit, med_cfg=med, embed_dim=med.hidden_size)
+    tok = simple_bert_tokenizer(max_len=12, vocab_size=med.vocab_size)
+    img_fn = identity_image_transform(vit.image_size)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        tok(["x", "y"]),
+        np.zeros((2, 32, 32, 3), np.float32),
+        np.ones(2, np.int32),
+        np.ones(2, np.int32),
+    )["params"]
+    bundle = ModelBundle(
+        "BLIPFeatureFusion", model, params, tok, img_fn, img_fn, (32, 32), med.hidden_size,
+        extra={"queue_size": 16, "momentum": 0.995},
+    )
+    config = make_train_config(train_root, model_name="BLIPFeatureFusion", epochs=1)
+    config.model.short_name = "TEST_BLIP_FF"
+    out = trainer.main(config, mesh=mesh8, bundle=bundle)
+    assert np.isfinite(float(out["stats"]["train_loss"]))
+    assert int(out["state"].queue_ptr) == 0  # 2 steps x 8 = 16 = queue -> wrapped
