@@ -44,6 +44,16 @@ class ModelBundle:
             batch["image_mask_batched"],
         )
 
+    def encode_mbeir_batch(self, params, batch):
+        """Reference-parity API (clip_sf.py:154-168): returns (embeddings, id_list)."""
+        id_list = batch.get("did_list")
+        if id_list is None:
+            id_list = batch.get("qid_list")
+        assert id_list is not None, "id_list must be provided."
+        embeddings = self.encode_batch(params, batch)
+        assert embeddings.shape[0] == len(id_list), "embeddings and id_batched must have the same batch size."
+        return embeddings, id_list
+
 
 def _init_params(model, image_size: tuple, context_length: int, rng=None, text_is_dict: bool = False):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
