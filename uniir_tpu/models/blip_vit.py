@@ -64,11 +64,12 @@ class BLIPBlock(nn.Module):
     mlp_ratio: float
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
+    fused_attention: bool = True  # non-causal vision stack
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = MultiHeadAttention(self.width, self.heads, dtype=self.dtype, name="attn")(h)
+        h = MultiHeadAttention(self.width, self.heads, dtype=self.dtype, fused=self.fused_attention, name="attn")(h)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, name="mlp")(h)

@@ -91,6 +91,8 @@ class CLIPVisionTower(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     quant: bool = False
+    # paired-head fused attention: non-causal, so safe for the vision stack
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -116,6 +118,7 @@ class CLIPVisionTower(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             quant=self.quant,
+            fused_attention=self.fused_attention,
             name="transformer",
         )(x)
         proj = self.param(

@@ -58,6 +58,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     out_init: Callable = nn.initializers.xavier_uniform()
     quant: bool = False  # int8 projections (inference path)
+    fused: bool = False  # paired-head Pallas attention (non-causal only)
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None):
@@ -68,6 +69,18 @@ class MultiHeadAttention(nn.Module):
         q = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="q_proj")(x)
         k = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="k_proj")(kv_src)
         v = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="v_proj")(kv_src)
+
+        if self.fused and mask is None and kv is None and self.dtype == jnp.bfloat16:
+            from uniir_tpu.ops.attention_pallas import paired_attention, paired_attention_supported
+
+            on_tpu = jax.default_backend() == "tpu"
+            if paired_attention_supported(self.num_heads, self.width, on_tpu):
+                out = paired_attention(
+                    q, k, v, self.num_heads, head_dim**-0.5, not on_tpu
+                )
+                return make_dense(
+                    self.width, dtype=self.dtype, quant=self.quant, name="out_proj", kernel_init=self.out_init
+                )(out)
 
         B, Lq = x.shape[0], x.shape[1]
         Lk = kv_src.shape[1]
@@ -109,11 +122,14 @@ class TransformerBlock(nn.Module):
     act: str = "gelu"
     dtype: Dtype = jnp.float32
     quant: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        x = x + MultiHeadAttention(self.width, self.num_heads, dtype=self.dtype, quant=self.quant, name="attn")(h, mask=mask)
+        x = x + MultiHeadAttention(
+            self.width, self.num_heads, dtype=self.dtype, quant=self.quant, fused=self.fused_attention, name="attn"
+        )(h, mask=mask)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         x = x + MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, quant=self.quant, name="mlp")(h)
         return x
@@ -134,6 +150,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     quant: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -148,6 +165,7 @@ class Transformer(nn.Module):
                 act=self.act,
                 dtype=self.dtype,
                 quant=self.quant,
+                fused_attention=self.fused_attention,
                 name=f"resblocks_{i}",
             )(x, mask)
         return x
