@@ -13,11 +13,12 @@ bf16.  Training is unaffected (quantization is a pytree transform applied
 after loading weights).  Accuracy: embedding cosine similarity vs the bf16
 path is checked in tests (0.9996 on CLIP-L at batch 256).
 
-STATUS: accuracy-validated; measured v5e CLIP-L throughput is 627 vs 615
-pairs/s for bf16 -- the unfused dynamic activation quantization (abs-max
-reduce + round/clip, extra HBM passes) currently eats the 2x int8 MXU rate.
-The win requires fusing quantization into the preceding op (Pallas epilogue),
-planned; the bf16 path stays the default.
+STATUS: accuracy-validated but perf-neutral on this stack: measured v5e
+CLIP-L throughput 627 vs 615 pairs/s for bf16, and a direct microbenchmark
+shows XLA's int8 dot_general reaches only ~144 TOPs vs ~137 TFLOPs for bf16
+(the nominal 2x int8 MXU rate is not accessible through this lowering), so
+even perfectly fused activation quantization would not pay.  Kept as an
+accuracy-validated serving option; bf16 stays the default.
 """
 
 from __future__ import annotations
