@@ -165,3 +165,29 @@ def test_bert_wordpiece():
     assert tok.tokenize("zzz") == ["[UNK]"]
     # blip special tokens exist
     assert tok.enc_token_id is not None and tok.bos_token_id is not None
+
+
+def test_loader_producer_unblocks_on_abandon():
+    """Abandoning iteration with a full prefetch queue must not leak a
+    blocked producer thread (regression: producer used an unbounded put)."""
+    import threading
+    import time
+
+    from uniir_tpu.data.loader import MBEIRLoader
+
+    class Toy:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return i
+
+    loader = MBEIRLoader(Toy(), collate_fn=lambda items: {"x": np.asarray(items)}, batch_size=4, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)  # start the producer; queue fills behind the consumer
+    del it  # abandon: generator close sets stop via finally
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread still alive after abandon"

@@ -61,6 +61,17 @@ def shard_batch(mesh: Mesh, batch):
     leading axis of every array leaf is sharded over the `data` mesh axis.
     """
 
+    if jax.process_count() > 1:
+        # Assembling a global flat [queries|positives|negs] batch from per-host
+        # loaders needs a layout-aware make_array_from_process_local_data path
+        # (the per-host group layout does not survive naive concatenation);
+        # multi-host TRAINING is future work.  Multi-host EMBEDDING works
+        # today via per-process local runs (mesh=None) + part-file writes.
+        raise NotImplementedError(
+            "shard_batch currently supports single-host meshes only; "
+            "run multi-host embedding with mesh=None (see retrieval/embedder.py)"
+        )
+
     def put(x):
         x = np.asarray(x)
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))

@@ -152,15 +152,28 @@ class MBEIRLoader:
             consumed = sum(real_counts[:-1])
             real_counts[-1] = min(real_counts[-1], total - consumed)
 
+        def put_or_abandon(item) -> bool:
+            # bounded put that re-checks `stop`: a plain blocking put would
+            # deadlock the producer forever if the consumer abandons the
+            # iterator (break / exception) while the queue is full
+            while not stop.is_set():
+                try:
+                    work.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b, n_valid in zip(batches, real_counts):
                     if stop.is_set():
                         return
-                    work.put(make_batch(b, n_valid))
-                work.put(None)
+                    if not put_or_abandon(make_batch(b, n_valid)):
+                        return
+                put_or_abandon(None)
             except Exception as e:
-                work.put(e)
+                put_or_abandon(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -66,7 +66,7 @@ def bucketed_topk(scores: jnp.ndarray, k: int, bucket: int = 128):
     return vals, jnp.take_along_axis(idx, pos, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size", "valid_n"))
+@partial(jax.jit, static_argnames=("k", "chunk_size"))
 def chunked_topk(
     queries: jnp.ndarray,
     pool: jnp.ndarray,
@@ -83,7 +83,7 @@ def chunked_topk(
     """
     Q, D = queries.shape
     N = pool.shape[0]
-    valid_n = N if valid_n is None else valid_n
+    valid_n = N if valid_n is None else valid_n  # may be a traced scalar
     k = min(k, N)
 
     n_chunks = -(-N // chunk_size)
@@ -139,50 +139,48 @@ def pad_pool_for_chunks(pool: np.ndarray, chunk_size: int) -> np.ndarray:
     return np.concatenate([pool, np.zeros((pad, D), pool.dtype)], axis=0)
 
 
-def sharded_topk(
-    queries: jnp.ndarray,
-    pool: jnp.ndarray,
-    k: int,
-    mesh: Mesh,
-    chunk_size: int = 16384,
-    valid_n: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pool-sharded exact top-k over the mesh `data` axis.
+def shard_pool(pool, mesh: Mesh) -> jnp.ndarray:
+    """Pad row-count to a shard multiple (host-side) and place the pool
+    row-sharded over the mesh `data` axis ONCE.
 
-    The pool is (re)sharded row-wise; each device searches its shard, then the
-    [Q, k] partials are all-gathered and merged.  `pool` may be a numpy array
-    or an already-sharded jax array whose rows are padded to a multiple of the
-    axis size.
+    Do this before a query-batch sweep so the multi-GB H2D transfer is not
+    repeated per sharded_topk call.
     """
     n_dev = mesh.shape[DATA_AXIS]
     N, D = pool.shape
-    valid_n = N if valid_n is None else valid_n
-    k = min(k, valid_n)
-
     shard_rows = -(-N // n_dev)
     pad = shard_rows * n_dev - N
     if pad:
-        pool = jnp.concatenate([jnp.asarray(pool), jnp.zeros((pad, D), pool.dtype)], axis=0)
+        pool = np.concatenate(
+            [np.asarray(pool), np.zeros((pad, D), np.asarray(pool).dtype)], axis=0
+        )
+    return jax.device_put(jnp.asarray(pool), NamedSharding(mesh, P(DATA_AXIS, None)))
 
-    pool = jax.device_put(jnp.asarray(pool), NamedSharding(mesh, P(DATA_AXIS, None)))
-    queries = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+
+@partial(jax.jit, static_argnames=("k", "chunk_size", "shard_rows", "mesh"))
+def _sharded_search(queries, pool, valid_n, *, k: int, chunk_size: int, shard_rows: int, mesh: Mesh):
+    """Jitted shard_map search body; cached across query batches
+    (same mesh/k/chunk/shard_rows -> one trace for the whole sweep)."""
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, None)),
+        in_specs=(P(), P(DATA_AXIS, None), P()),
         out_specs=(P(), P()),
         check_vma=False,  # outputs are replicated by the trailing all_gather+merge
     )
-    def search(q, local_pool):
+    def search(q, local_pool, valid_n):
         shard_idx = jax.lax.axis_index(DATA_AXIS)
         base = shard_idx * shard_rows
+        # mask padding BEFORE local selection: zero-pad rows score 0.0, which
+        # would displace genuinely negative-scored true candidates otherwise
+        local_valid = jnp.clip(valid_n - base, 0, shard_rows)
         s, i = chunked_topk(
             q,
             local_pool,
             k=k,
-            chunk_size=min(chunk_size, shard_rows),
-            valid_n=shard_rows,  # per-shard bound; global bound applied below
+            chunk_size=chunk_size,
+            valid_n=local_valid,
         )
         gi = i + base
         s = jnp.where(gi < valid_n, s, NEG_INF)
@@ -195,7 +193,46 @@ def sharded_topk(
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, top_i
 
-    return search(queries, pool)
+    return search(queries, pool, valid_n)
+
+
+def sharded_topk(
+    queries: jnp.ndarray,
+    pool: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    chunk_size: int = 16384,
+    valid_n: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pool-sharded exact top-k over the mesh `data` axis.
+
+    Each device searches its row shard, then the [Q, k] partials are
+    all-gathered and merged.  `pool` may be a numpy array or -- preferred for
+    repeated calls -- an array already placed by `shard_pool` (recognized by
+    its sharding; skips the H2D transfer entirely).
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    N, D = pool.shape
+    valid_n = int(N if valid_n is None else valid_n)
+    k = min(k, valid_n)
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    if isinstance(pool, jax.Array) and pool.sharding.is_equivalent_to(sharding, pool.ndim):
+        assert N % n_dev == 0, "pre-sharded pool must be padded to the axis size"
+    else:
+        pool = shard_pool(pool, mesh)
+    shard_rows = pool.shape[0] // n_dev
+
+    queries = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+    return _sharded_search(
+        queries,
+        pool,
+        jnp.asarray(valid_n, jnp.int32),
+        k=k,
+        chunk_size=min(chunk_size, shard_rows),
+        shard_rows=shard_rows,
+        mesh=mesh,
+    )
 
 
 def topk_numpy_reference(queries: np.ndarray, pool: np.ndarray, k: int):

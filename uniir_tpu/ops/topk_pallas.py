@@ -18,8 +18,9 @@ hot path):
      per query; their k*GROUP pool rows are gathered and rescored in fp32
      for the final exact ranking.
 
-HBM traffic ~= one pool read (8.6 GB for the 5.6M x 768 pool) + ~180 MB of
-maxima, vs ~3x pool size for the chunked XLA path.
+HBM traffic ~= one pool read (8.6 GB for the 5.6M x 768 pool) + ~360 MB of
+fp32 maxima (fp32 so rounding cannot drop tie buckets), vs ~3x pool size for
+the chunked XLA path.
 """
 
 from __future__ import annotations
@@ -53,7 +54,7 @@ def _bucket_max_kernel(q_ref, pool_ref, valid_ref, out_ref):
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
     row = base + m_idx * 128 + l_idx
     tiles = jnp.where(row < valid_ref[0, 0], tiles, jnp.float32(NEG))
-    out_ref[...] = jnp.max(tiles, axis=1).astype(out_ref.dtype)  # [Q, 128]
+    out_ref[...] = jnp.max(tiles, axis=1)  # [Q, 128] fp32 (bf16 would lose ties)
 
 
 def bucket_max_scores(
@@ -62,7 +63,7 @@ def bucket_max_scores(
     valid_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[Q, D] x [N, D] -> strided-bucket score maxima [Q, N/GROUP] (bf16).
+    """[Q, D] x [N, D] -> strided-bucket score maxima [Q, N/GROUP] (fp32).
 
     N must be a multiple of CHUNK (pad the pool host-side; padding rows are
     masked via valid_n).
@@ -86,7 +87,7 @@ def bucket_max_scores(
 
     out = pl.pallas_call(
         _bucket_max_kernel,
-        out_shape=jax.ShapeDtypeStruct((q_in.shape[0], n_chunks * 128), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((q_in.shape[0], n_chunks * 128), jnp.float32),
         # chunk outermost, q-tile innermost: the pool streams through HBM once
         grid=(n_chunks, n_q),
         in_specs=[
@@ -125,20 +126,20 @@ def pallas_topk(
     N = pool.shape[0]
     valid_n = N if valid_n is None else valid_n
 
-    maxima = bucket_max_scores(queries, pool, valid_n=valid_n, interpret=interpret)  # [Q, NB] bf16
+    maxima = bucket_max_scores(queries, pool, valid_n=valid_n, interpret=interpret)  # [Q, NB] fp32
     NB = maxima.shape[1]
 
     # hierarchical selection over the maxima (avoids one big TopK call)
     if NB % 128 == 0 and NB > k * 128:
         tiles = maxima.reshape(Q, NB // 128, 128)
-        tile_max = jnp.max(tiles, axis=-1).astype(jnp.float32)  # [Q, NB/128]
+        tile_max = jnp.max(tiles, axis=-1)  # [Q, NB/128] fp32
         _, tids = jax.lax.top_k(tile_max, k)
-        cand = jnp.take_along_axis(tiles, tids[:, :, None], axis=1).reshape(Q, k * 128).astype(jnp.float32)
+        cand = jnp.take_along_axis(tiles, tids[:, :, None], axis=1).reshape(Q, k * 128)
         _, pos = jax.lax.top_k(cand, k)
         flat = (tids[:, :, None] * 128 + jnp.arange(128)[None, None, :]).reshape(Q, k * 128)
         bucket_ids = jnp.take_along_axis(flat, pos, axis=1)  # [Q, k]
     else:
-        _, bucket_ids = jax.lax.top_k(maxima.astype(jnp.float32), k)
+        _, bucket_ids = jax.lax.top_k(maxima, k)
 
     # gather candidate pool rows and rescore in fp32-accumulated bf16
     row_ids = _bucket_rows(bucket_ids).reshape(Q, k * GROUP)  # [Q, k*GROUP]

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from uniir_tpu.ops.topk import chunked_topk, pad_pool_for_chunks, sharded_topk
+from uniir_tpu.ops.topk import chunked_topk, pad_pool_for_chunks, shard_pool, sharded_topk
 from uniir_tpu.ops.topk_pallas import CHUNK as PALLAS_CHUNK, pallas_topk
 from uniir_tpu.retrieval.index import DenseIndex, normalize_l2
 
@@ -36,12 +36,12 @@ def search_dense_index(
     use_pallas = on_tpu and not multi_device and index.ntotal > PALLAS_CHUNK
 
     chunk = min(chunk_size, index.ntotal)
+    # one H2D transfer for the whole sweep (the pool can be multi-GB)
     if multi_device:
-        pool_host = index.embeds
+        pool_dev = shard_pool(index.embeds, mesh)
     else:
         pool_host = pad_pool_for_chunks(index.embeds, PALLAS_CHUNK if use_pallas else chunk)
-    # one H2D transfer for the whole sweep (the pool can be multi-GB)
-    pool_dev = pool_host if multi_device else jax.device_put(pool_host)
+        pool_dev = jax.device_put(pool_host)
 
     all_scores, all_idx = [], []
     for i in range(0, q.shape[0], batch_size):

@@ -41,6 +41,7 @@ def train_one_epoch(
     """One epoch; returns (state, stats dict) (reference engine.py:7-55)."""
     metric_logger = MetricLogger()
     print_freq = int(getattr(config.trainer_config, "print_freq", 50))
+    accum = int(getattr(config.trainer_config, "gradient_accumulation_steps", 1))
     header = f"Train Epoch: [{epoch}]"
     n_batches = len(loader)
 
@@ -49,7 +50,6 @@ def train_one_epoch(
     # remote-TPU relays can force a full output-state materialization per
     # call -- measured 53s vs 0.96s per CLIP-L step).
     pending = []
-    step_count = 0
 
     def flush():
         nonlocal pending
@@ -67,10 +67,12 @@ def train_one_epoch(
             state, metrics = step_fn(state, batch, jnp.asarray(alpha_i, jnp.float32))
         else:
             state, metrics = step_fn(state, batch)
-        step_count += 1
         if lr_schedule is not None:
+            # schedule is indexed by the GLOBAL optimizer step (micro-batches
+            # collapsed by accumulation), not the epoch-local batch counter
+            opt_step = (epoch * n_batches + i + 1) // max(1, accum)
             metrics = dict(metrics)
-            metrics["lr"] = lr_schedule(step_count)  # host-side schedule eval
+            metrics["lr"] = lr_schedule(opt_step)  # host-side schedule eval
         pending.append(metrics)
         if print_freq and (i + 1) % print_freq == 0:
             flush()

@@ -52,18 +52,27 @@ def make_clip_train_step(
     hard_neg_num: int = 0,
     in_batch_neg_num: int = 0,
     mesh: Optional[Mesh] = None,
+    with_dropout: bool = False,
 ) -> Callable:
-    """Train step for the CLIP family (SF and FF share the loss)."""
+    """Train step for the CLIP family (SF and FF share the loss).
 
-    def loss_fn(params, batch):
-        emb = model.apply({"params": params}, *_model_inputs(batch))
+    `with_dropout` enables stochastic layers during training (CLIP-FF's T5
+    fusion stack has dropout 0.1; plain CLIP towers have none).
+    """
+
+    def loss_fn(params, batch, dropout_rng):
+        kwargs = {}
+        if with_dropout:
+            kwargs = {"deterministic": False, "rngs": {"dropout": dropout_rng}}
+        emb = model.apply({"params": params}, *_model_inputs(batch), **kwargs)
         bs = infer_flat_bs(batch, hard_neg_num)
         logit_scale = jnp.exp(params["logit_scale"])
         out = inbatch_contrastive_loss(emb, bs, logit_scale, hard_neg_num, in_batch_neg_num)
         return out["loss"], out
 
     def step(state: TrainState, batch):
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, dropout_rng)
         new_state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss, "inbatch_accuracy": out["accuracy"]}
         return new_state, metrics

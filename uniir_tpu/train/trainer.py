@@ -146,7 +146,11 @@ def build_train_setup(config, mesh=None, bundle=None):
         )
         state = TrainState.create(params=bundle.params, tx=tx)
         train_step = make_clip_train_step(
-            bundle.model, hard_neg_num=hard_neg_num, in_batch_neg_num=in_batch_neg_num, mesh=mesh
+            bundle.model,
+            hard_neg_num=hard_neg_num,
+            in_batch_neg_num=in_batch_neg_num,
+            mesh=mesh,
+            with_dropout=(model_name == "CLIPFeatureFusion"),  # T5 fusion dropout
         )
         eval_step = make_clip_eval_step(bundle.model, hard_neg_num=hard_neg_num, in_batch_neg_num=in_batch_neg_num)
 
