@@ -120,7 +120,8 @@ class CLIPVisionTower(nn.Module):
             quant=self.quant,
             fused_attention=self.fused_attention,
             name="transformer",
-        )(x)
+            # pooled tower: the last block only computes the CLS row (exact)
+        )(x, pool_idx=jnp.zeros((B,), jnp.int32) if self.pool == "cls" else None)
         proj = self.param(
             "proj", nn.initializers.normal(cfg.vision_width**-0.5), (cfg.vision_width, cfg.embed_dim)
         )
@@ -150,6 +151,7 @@ class CLIPTextTower(nn.Module):
         x = x + pos.astype(self.dtype)[: x.shape[1]]
         L = x.shape[1]
         causal = jnp.tril(jnp.ones((L, L), dtype=bool))[None, None]
+        eot_pos = jnp.argmax(text, axis=-1)  # EOT has the highest token id
         x = Transformer(
             cfg.text_width,
             cfg.text_layers,
@@ -159,7 +161,9 @@ class CLIPTextTower(nn.Module):
             remat=self.remat,
             quant=self.quant,
             name="transformer",
-        )(x, mask=causal)
+            # pooled tower: the last block only computes the EOT row (exact;
+            # its causal-mask row is gathered per sample)
+        )(x, mask=causal, pool_idx=eot_pos if self.pool == "eot" else None)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
         if self.pool == "none":
             # CLIP-FF text path: full sequence, no projection (the reference
@@ -168,8 +172,7 @@ class CLIPTextTower(nn.Module):
         text_proj = self.param(
             "text_projection", nn.initializers.normal(cfg.text_width**-0.5), (cfg.text_width, cfg.embed_dim)
         )
-        eot_pos = jnp.argmax(text, axis=-1)  # EOT has the highest token id
-        pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+        pooled = x[:, 0]  # trimmed last block already gathered the EOT row
         return pooled @ text_proj.astype(self.dtype)
 
 

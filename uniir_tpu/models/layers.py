@@ -125,14 +125,37 @@ class TransformerBlock(nn.Module):
     fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        x = x + MultiHeadAttention(
+    def __call__(self, x, mask=None, pool_idx=None):
+        attn = MultiHeadAttention(
             self.width, self.num_heads, dtype=self.dtype, quant=self.quant, fused=self.fused_attention, name="attn"
-        )(h, mask=mask)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        x = x + MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, quant=self.quant, name="mlp")(h)
-        return x
+        )
+        mlp = MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, quant=self.quant, name="mlp")
+        ln_1 = nn.LayerNorm(dtype=self.dtype, name="ln_1")
+        ln_2 = nn.LayerNorm(dtype=self.dtype, name="ln_2")
+
+        if pool_idx is None:
+            h = ln_1(x)
+            x = x + attn(h, mask=mask)
+            h = ln_2(x)
+            return x + mlp(h)
+
+        # Pooled-query block: downstream only reads the token at pool_idx
+        # ([B] int32), so run attention with a single query row and the MLP on
+        # one token -- mathematically identical output for that token, ~1/L of
+        # the block's FLOPs.  Used for the LAST block of pooled towers only
+        # (earlier blocks feed every position back through attention).
+        B = x.shape[0]
+        idx = pool_idx.astype(jnp.int32)[:, None, None]
+        h = ln_1(x)
+        hq = jnp.take_along_axis(h, idx, axis=1)  # [B, 1, W]
+        xq = jnp.take_along_axis(x, idx, axis=1)
+        qmask = None
+        if mask is not None:
+            # the pooled query's row of the [.., Lq, Lk] mask
+            m = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
+            qmask = jnp.take_along_axis(m, idx[:, None, :, 0:1], axis=2)  # [B, 1|H, 1, Lk]
+        xq = xq + attn(hq, kv=h, mask=qmask)
+        return xq + mlp(ln_2(xq))
 
 
 class Transformer(nn.Module):
@@ -153,12 +176,15 @@ class Transformer(nn.Module):
     fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, pool_idx=None):
+        """With `pool_idx` ([B] int32), the LAST block computes only the
+        pooled token's output (returns [B, 1, W]) -- exact for pooled towers
+        where every other final-layer position is discarded."""
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=())
         for i in range(self.layers):
-            x = block_cls(
+            blk = block_cls(
                 self.width,
                 self.num_heads,
                 self.mlp_ratio,
@@ -167,7 +193,8 @@ class Transformer(nn.Module):
                 quant=self.quant,
                 fused_attention=self.fused_attention,
                 name=f"resblocks_{i}",
-            )(x, mask)
+            )
+            x = blk(x, mask, pool_idx) if (i == self.layers - 1 and pool_idx is not None) else blk(x, mask)
         return x
 
 
