@@ -45,6 +45,8 @@ class BLIPFeatureFusion(nn.Module):
             encoder_attention_mask=None,  # all-ones (reference blip_ff.py:97,108)
             mode="multimodal",
             deterministic=deterministic,
+            trim_last=True,  # pooler reads CLS only (exact); the ViT output
+            # stays full-length because every layer cross-attends to it
         )
         return pooled.astype(jnp.float32)
 

@@ -46,11 +46,12 @@ class BLIPScoreFusion(nn.Module):
             attention_mask=txt_dict["attention_mask"],
             mode="text",
             deterministic=deterministic,
+            trim_last=True,  # only the CLS row is consumed below (exact)
         )
         return self.text_proj(hidden[:, 0, :])
 
     def encode_images(self, images, deterministic: bool = True) -> jnp.ndarray:
-        feats = self.visual_encoder(images, deterministic=deterministic)
+        feats = self.visual_encoder(images, deterministic=deterministic, pool_cls=True)
         return self.vision_proj(feats[:, 0, :])
 
     def fuse_embeddings(self, txt_emb, img_emb):

@@ -65,14 +65,23 @@ class BLIPBlock(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
     fused_attention: bool = True  # non-causal vision stack
+    # compute only the CLS (index-0) output row: exact for the LAST block of a
+    # CLS-pooled consumer, ~1/L of the block's FLOPs (attention keeps full k/v)
+    pool_first: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        attn = MultiHeadAttention(self.width, self.heads, dtype=self.dtype, fused=self.fused_attention, name="attn")
+        mlp = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, name="mlp")
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = MultiHeadAttention(self.width, self.heads, dtype=self.dtype, fused=self.fused_attention, name="attn")(h)
+        if self.pool_first:
+            h = attn(h[:, :1], kv=h)  # single CLS query over the full sequence
+            x = x[:, :1]
+        else:
+            h = attn(h)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, name="mlp")(h)
+        h = mlp(h)
         return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
 
 
@@ -82,7 +91,11 @@ class BLIPVisionTransformer(nn.Module):
     remat_from_layer: int = 0  # remat blocks [layers - k, layers) like ckpt_layer
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True, pool_cls: bool = False) -> jnp.ndarray:
+        """With `pool_cls` the last block computes only the CLS row and the
+        output is [B, 1, W] -- exact when the caller reads feats[:, 0] only
+        (BLIP-SF towers); keep False when the full sequence feeds
+        cross-attention (BLIP-FF)."""
         cfg = self.cfg
         x = PatchEmbed(cfg.width, cfg.patch_size, use_bias=True, dtype=self.dtype, name="patch_embed")(
             images.astype(self.dtype)
@@ -99,7 +112,9 @@ class BLIPVisionTransformer(nn.Module):
             block_cls = BLIPBlock
             if self.remat_from_layer and i >= cfg.layers - self.remat_from_layer:
                 block_cls = nn.remat(BLIPBlock, static_argnums=(2,))
-            x = block_cls(cfg.width, cfg.heads, cfg.mlp_ratio, drop_path=dp, dtype=self.dtype, name=f"blocks_{i}")(
-                x, deterministic
-            )
+            trim = pool_cls and i == cfg.layers - 1
+            x = block_cls(
+                cfg.width, cfg.heads, cfg.mlp_ratio, drop_path=dp, dtype=self.dtype,
+                pool_first=trim, name=f"blocks_{i}",
+            )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)

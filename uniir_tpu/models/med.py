@@ -67,11 +67,13 @@ class BertSelfAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attn_mask=None, kv=None, deterministic: bool = True):
+    def __call__(self, hidden, attn_mask=None, kv=None, deterministic: bool = True, self_kv=None):
         cfg = self.cfg
         H, heads = cfg.hidden_size, cfg.num_attention_heads
         head_dim = H // heads
-        kv_src = kv if self.is_cross else hidden
+        # self_kv: full-sequence k/v source for a trimmed (single-query) self-
+        # attention pass; residual + q still come from `hidden`
+        kv_src = kv if self.is_cross else (self_kv if self_kv is not None else hidden)
 
         q = nn.Dense(H, dtype=self.dtype, name="query")(hidden)
         k = nn.Dense(H, dtype=self.dtype, name="key")(kv_src)
@@ -97,13 +99,19 @@ class BertSelfAttentionBlock(nn.Module):
 class BertLayer(nn.Module):
     cfg: MedConfig
     dtype: Dtype = jnp.float32
+    # compute only the CLS (index-0) output row: exact for the LAST layer of a
+    # CLS-pooled consumer (self- and cross-attention keep full k/v; the
+    # additive masks broadcast over the query axis unchanged)
+    pool_first: bool = False
 
     @nn.compact
     def __call__(self, hidden, attn_mask, mode: str, enc_hidden=None, enc_mask=None, deterministic: bool = True):
         cfg = self.cfg
-        hidden = BertSelfAttentionBlock(cfg, dtype=self.dtype, name="attention")(
-            hidden, attn_mask, deterministic=deterministic
-        )
+        attention = BertSelfAttentionBlock(cfg, dtype=self.dtype, name="attention")
+        if self.pool_first:
+            hidden = attention(hidden[:, :1], attn_mask, deterministic=deterministic, self_kv=hidden)
+        else:
+            hidden = attention(hidden, attn_mask, deterministic=deterministic)
         if mode == "multimodal":
             assert enc_hidden is not None, "encoder_hidden_states must be given for multimodal mode"
             hidden = BertSelfAttentionBlock(cfg, is_cross=True, dtype=self.dtype, name="crossattention")(
@@ -135,7 +143,11 @@ class MedBertModel(nn.Module):
         encoder_attention_mask: Optional[jnp.ndarray] = None,
         mode: str = "multimodal",
         deterministic: bool = True,
+        trim_last: bool = False,
     ):
+        """`trim_last` makes the LAST layer compute only the CLS row (output
+        hidden is [B, 1, H]) -- exact when the caller consumes x[:, 0] /
+        `pooled` only."""
         cfg = self.cfg
         B, L = input_ids.shape
         if attention_mask is None:
@@ -160,7 +172,8 @@ class MedBertModel(nn.Module):
         if self.remat:
             layer_cls = nn.remat(BertLayer, static_argnums=(3, 6))
         for i in range(cfg.num_hidden_layers):
-            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
+            trim = trim_last and i == cfg.num_hidden_layers - 1
+            x = layer_cls(cfg, dtype=self.dtype, pool_first=trim, name=f"layer_{i}")(
                 x, attn_mask, mode, encoder_hidden_states, enc_mask, deterministic
             )
 
