@@ -62,15 +62,23 @@ def shard_batch(mesh: Mesh, batch):
     """
 
     if jax.process_count() > 1:
-        # Assembling a global flat [queries|positives|negs] batch from per-host
-        # loaders needs a layout-aware make_array_from_process_local_data path
-        # (the per-host group layout does not survive naive concatenation);
-        # multi-host TRAINING is future work.  Multi-host EMBEDDING works
-        # today via per-process local runs (mesh=None) + part-file writes.
-        raise NotImplementedError(
-            "shard_batch currently supports single-host meshes only; "
-            "run multi-host embedding with mesh=None (see retrieval/embedder.py)"
+        # Multi-host: each process holds its own loader's flat [q|p|n] block;
+        # the global array is the HOST-MAJOR concatenation of those blocks
+        # ([q_0|p_0|n_0 | q_1|p_1|n_1 | ...]).  The mesh enumerates devices in
+        # process order (make_mesh uses jax.devices()), so each host's rows
+        # land on its own chips with no cross-host transfer.  The losses
+        # un-interleave this layout via split_flat_batch(..., n_hosts) -- the
+        # train steps pass jax.process_count() automatically.
+        assert mesh.devices.size == len(jax.devices()), (
+            "multi-host shard_batch requires a mesh spanning every device"
         )
+
+        def put_global(x):
+            x = np.asarray(x)
+            spec = P(DATA_AXIS, *([None] * (max(x.ndim, 1) - 1)))
+            return jax.make_array_from_process_local_data(NamedSharding(mesh, spec), x)
+
+        return jax.tree_util.tree_map(put_global, batch)
 
     def put(x):
         x = np.asarray(x)

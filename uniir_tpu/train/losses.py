@@ -36,8 +36,30 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(norm, eps)
 
 
-def split_flat_batch(embeddings: jnp.ndarray, bs: int, hard_neg_num: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
-    """Slice the static flat layout into (q, p, n) embeddings."""
+def split_flat_batch(
+    embeddings: jnp.ndarray, bs: int, hard_neg_num: int = 0, n_hosts: int = 1
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Slice the static flat layout into (q, p, n) embeddings.
+
+    `bs` is always the GLOBAL query count.  With `n_hosts` > 1 the global
+    batch is HOST-MAJOR: each host's loader emits its own [q|p|n] flat block
+    and `core.mesh.shard_batch` concatenates the blocks in process order
+    (jax.make_array_from_process_local_data), so the layout is
+    [q_0|p_0|n_0 | q_1|p_1|n_1 | ...].  All slicing is static reshaping, so
+    the SPMD partitioner keeps it local to each host's shard.
+    """
+    if n_hosts > 1:
+        assert bs % n_hosts == 0, (bs, n_hosts)
+        bs_l = bs // n_hosts
+        per_host = (2 + hard_neg_num) * bs_l
+        D = embeddings.shape[-1]
+        e = embeddings.reshape(n_hosts, per_host, D)
+        q = e[:, :bs_l].reshape(bs, D)
+        p = e[:, bs_l : 2 * bs_l].reshape(bs, D)
+        n = None
+        if hard_neg_num > 0:
+            n = e[:, 2 * bs_l :].reshape(bs, hard_neg_num, D)
+        return q, p, n
     q = embeddings[:bs]
     p = embeddings[bs : 2 * bs]
     n = None
@@ -52,6 +74,7 @@ def inbatch_contrastive_loss(
     logit_scale: jnp.ndarray,
     hard_neg_num: int = 0,
     in_batch_neg_num: int = 0,
+    n_hosts: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """In-batch contrastive CE loss (reference clip_sf.py:68-147).
 
@@ -67,7 +90,7 @@ def inbatch_contrastive_loss(
     -- contradicting its comment "positive candidates from other queries".
     We implement the documented intent: row i's negatives are p_j, j != i.
     """
-    q, p, n = split_flat_batch(embeddings, bs, hard_neg_num)
+    q, p, n = split_flat_batch(embeddings, bs, hard_neg_num, n_hosts)
     q = l2_normalize(q)
     p = l2_normalize(p)
 
@@ -112,6 +135,7 @@ def momentum_distill_contrastive_loss(
     alpha: jnp.ndarray,
     hard_neg_num: int = 0,
     n_dids: Optional[jnp.ndarray] = None,
+    n_hosts: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """ALBEF-style momentum-distilled symmetric contrastive loss for BLIP
     (reference src/models/uniir_blip/blip_scorefusion/blip_sf.py:174-313).
@@ -123,8 +147,10 @@ def momentum_distill_contrastive_loss(
 
     Returns loss, accuracy, and the (q_m, c_m, idx) rows to enqueue.
     """
-    q, p, n = split_flat_batch(embeddings, bs, hard_neg_num)
-    q_m, p_m, n_m = split_flat_batch(embeddings_m, bs, hard_neg_num)
+    # NOTE: with n_hosts > 1, p_dids / n_dids arrive host-major too (same
+    # per-host concatenation), so their pairing with q/p rows is preserved.
+    q, p, n = split_flat_batch(embeddings, bs, hard_neg_num, n_hosts)
+    q_m, p_m, n_m = split_flat_batch(embeddings_m, bs, hard_neg_num, n_hosts)
     q, p = l2_normalize(q), l2_normalize(p)
     q_m, p_m = l2_normalize(q_m), l2_normalize(p_m)
 

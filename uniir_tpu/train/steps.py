@@ -60,6 +60,8 @@ def make_clip_train_step(
     fusion stack has dropout 0.1; plain CLIP towers have none).
     """
 
+    n_hosts = jax.process_count()  # host-major global batch layout
+
     def loss_fn(params, batch, dropout_rng):
         kwargs = {}
         if with_dropout:
@@ -67,7 +69,9 @@ def make_clip_train_step(
         emb = model.apply({"params": params}, *_model_inputs(batch), **kwargs)
         bs = infer_flat_bs(batch, hard_neg_num)
         logit_scale = jnp.exp(params["logit_scale"])
-        out = inbatch_contrastive_loss(emb, bs, logit_scale, hard_neg_num, in_batch_neg_num)
+        out = inbatch_contrastive_loss(
+            emb, bs, logit_scale, hard_neg_num, in_batch_neg_num, n_hosts=n_hosts
+        )
         return out["loss"], out
 
     def step(state: TrainState, batch):
@@ -94,7 +98,9 @@ def make_clip_eval_step(model, hard_neg_num: int = 0, in_batch_neg_num: int = 0)
         emb = model.apply({"params": params}, *_model_inputs(batch))
         bs = infer_flat_bs(batch, hard_neg_num)
         logit_scale = jnp.exp(params["logit_scale"])
-        out = inbatch_contrastive_loss(emb, bs, logit_scale, hard_neg_num, in_batch_neg_num)
+        out = inbatch_contrastive_loss(
+            emb, bs, logit_scale, hard_neg_num, in_batch_neg_num, n_hosts=jax.process_count()
+        )
         return {"loss": out["loss"], "inbatch_accuracy": out["accuracy"]}
 
     return jax.jit(step)
@@ -152,6 +158,7 @@ def make_blip_train_step(
                 alpha,
                 hard_neg_num=hard_neg_num,
                 n_dids=n_dids,
+                n_hosts=jax.process_count(),
             )
             return out["loss"], out
 
@@ -204,6 +211,7 @@ def make_blip_eval_step(model, hard_neg_num: int = 0) -> Callable:
             alpha,
             hard_neg_num=hard_neg_num,
             n_dids=batch.get("nc_dids_list") if hard_neg_num > 0 else None,
+            n_hosts=jax.process_count(),
         )
         return {"loss": out["loss"], "inbatch_accuracy": out["accuracy"]}
 
