@@ -99,3 +99,51 @@ def test_paired_attention_in_model_and_grads():
     b = np.concatenate([np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(g2)])
     # backward recomputes through einsum -> gradients agree to bf16 noise
     np.testing.assert_allclose(a, b, atol=0.6, rtol=0.2)
+
+
+def test_paired_attention_causal_matches_reference():
+    """Causal paired kernel (interpret mode) == causal einsum reference,
+    values and gradients (the CLIP text tower path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uniir_tpu.ops.attention_pallas import _einsum_flat, mha_paired, paired_attention
+
+    rng = np.random.default_rng(11)
+    B, L, H, D = 3, 13, 4, 8  # odd L exercises sublane padding + causal rows
+    W = H * D
+    q, k, v = (rng.standard_normal((B, L, W)).astype(np.float32) for _ in range(3))
+
+    out_k = mha_paired(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, interpret=True, causal=True)
+    out_r = _einsum_flat(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, D**-0.5, causal=True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), atol=2e-2)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(paired_attention(q, k, v, H, D**-0.5, True, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_einsum_flat(q, k, v, H, D**-0.5, causal=True) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
+
+
+def test_text_tower_fused_matches_einsum():
+    """CLIPTextTower with fused causal attention == einsum path (bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uniir_tpu.models.clip import CLIP_CONFIGS, CLIPTextTower
+
+    cfg = CLIP_CONFIGS["test-tiny"]
+    rng = np.random.default_rng(12)
+    txt = rng.integers(1, cfg.vocab_size - 2, (4, cfg.context_length)).astype(np.int32)
+    txt[:, 5] = cfg.vocab_size - 1
+    fused = CLIPTextTower(cfg, dtype=jnp.bfloat16, fused_attention=True)
+    plain = CLIPTextTower(cfg, dtype=jnp.bfloat16, fused_attention=False)
+    params = fused.init(jax.random.PRNGKey(0), txt)["params"]
+    of = fused.apply({"params": params}, txt)
+    op = plain.apply({"params": params}, txt)
+    np.testing.assert_allclose(np.asarray(of, np.float32), np.asarray(op, np.float32), atol=3e-2)

@@ -139,6 +139,8 @@ class CLIPTextTower(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     quant: bool = False
+    # causal paired-head fused attention (the tril mask lives in the kernel)
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
@@ -149,8 +151,6 @@ class CLIPTextTower(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01), (cfg.context_length, cfg.text_width)
         )
         x = x + pos.astype(self.dtype)[: x.shape[1]]
-        L = x.shape[1]
-        causal = jnp.tril(jnp.ones((L, L), dtype=bool))[None, None]
         eot_pos = jnp.argmax(text, axis=-1)  # EOT has the highest token id
         x = Transformer(
             cfg.text_width,
@@ -160,10 +160,12 @@ class CLIPTextTower(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             quant=self.quant,
+            causal=True,  # tril mask built in-kernel (fused) / in-layer (einsum)
+            fused_attention=self.fused_attention,
             name="transformer",
             # pooled tower: the last block only computes the EOT row (exact;
-            # its causal-mask row is gathered per sample)
-        )(x, mask=causal, pool_idx=eot_pos if self.pool == "eot" else None)
+            # it attends to positions <= its own)
+        )(x, pool_idx=eot_pos if self.pool == "eot" else None)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
         if self.pool == "none":
             # CLIP-FF text path: full sequence, no projection (the reference

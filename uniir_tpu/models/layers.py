@@ -58,7 +58,8 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     out_init: Callable = nn.initializers.xavier_uniform()
     quant: bool = False  # int8 projections (inference path)
-    fused: bool = False  # paired-head Pallas attention (non-causal only)
+    fused: bool = False  # paired-head Pallas attention
+    causal: bool = False  # lower-triangular self-attention (CLIP text tower)
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None):
@@ -76,7 +77,7 @@ class MultiHeadAttention(nn.Module):
             on_tpu = jax.default_backend() == "tpu"
             if paired_attention_supported(self.num_heads, self.width, on_tpu):
                 out = paired_attention(
-                    q, k, v, self.num_heads, head_dim**-0.5, not on_tpu
+                    q, k, v, self.num_heads, head_dim**-0.5, not on_tpu, self.causal
                 )
                 return make_dense(
                     self.width, dtype=self.dtype, quant=self.quant, name="out_proj", kernel_init=self.out_init
@@ -84,6 +85,9 @@ class MultiHeadAttention(nn.Module):
 
         B, Lq = x.shape[0], x.shape[1]
         Lk = kv_src.shape[1]
+        if self.causal and mask is None:
+            # self-attention einsum fallback builds the triangular mask here
+            mask = jnp.tril(jnp.ones((Lq, Lk), dtype=bool))[None, None]
         q = q.reshape(B, Lq, self.num_heads, head_dim)
         k = k.reshape(B, Lk, self.num_heads, head_dim)
         v = v.reshape(B, Lk, self.num_heads, head_dim)
@@ -123,11 +127,18 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     quant: bool = False
     fused_attention: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, pool_idx=None):
         attn = MultiHeadAttention(
-            self.width, self.num_heads, dtype=self.dtype, quant=self.quant, fused=self.fused_attention, name="attn"
+            self.width,
+            self.num_heads,
+            dtype=self.dtype,
+            quant=self.quant,
+            fused=self.fused_attention,
+            causal=self.causal,
+            name="attn",
         )
         mlp = MLP(self.width, int(self.width * self.mlp_ratio), act=self.act, dtype=self.dtype, quant=self.quant, name="mlp")
         ln_1 = nn.LayerNorm(dtype=self.dtype, name="ln_1")
@@ -144,7 +155,7 @@ class TransformerBlock(nn.Module):
         # one token -- mathematically identical output for that token, ~1/L of
         # the block's FLOPs.  Used for the LAST block of pooled towers only
         # (earlier blocks feed every position back through attention).
-        B = x.shape[0]
+        B, L = x.shape[0], x.shape[1]
         idx = pool_idx.astype(jnp.int32)[:, None, None]
         h = ln_1(x)
         hq = jnp.take_along_axis(h, idx, axis=1)  # [B, 1, W]
@@ -154,6 +165,9 @@ class TransformerBlock(nn.Module):
             # the pooled query's row of the [.., Lq, Lk] mask
             m = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
             qmask = jnp.take_along_axis(m, idx[:, None, :, 0:1], axis=2)  # [B, 1|H, 1, Lk]
+        elif self.causal:
+            # the pooled query attends to positions <= its own (its causal row)
+            qmask = (jnp.arange(L)[None, :] <= pool_idx[:, None])[:, None, None, :]
         xq = xq + attn(hq, kv=h, mask=qmask)
         return xq + mlp(ln_2(xq))
 
@@ -174,6 +188,7 @@ class Transformer(nn.Module):
     remat: bool = False
     quant: bool = False
     fused_attention: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, pool_idx=None):
@@ -192,6 +207,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 quant=self.quant,
                 fused_attention=self.fused_attention,
+                causal=self.causal,
                 name=f"resblocks_{i}",
             )
             x = blk(x, mask, pool_idx) if (i == self.layers - 1 and pool_idx is not None) else blk(x, mask)

@@ -9,8 +9,8 @@ einsum itself is memory-bound on the materialized [B, H, L, L] logits,
 This kernel keeps one group of heads' q/k/v and the full [L, L] score matrix
 in VMEM: grid over (B*H / GROUP) steps, each computing GROUP heads'
 softmax(q k^T / sqrt(d)) v without ever writing logits to HBM.  fp32 softmax,
-bf16 matmuls with fp32 accumulation.  Non-causal only (the text towers use
-tiny L and stay on the einsum path).
+bf16 matmuls with fp32 accumulation.  `mha_paired` supports a causal variant
+(lower-triangular mask applied in-kernel) for the CLIP text tower.
 
 STATUS: experimental, not wired into the models.  Measured on v5e at
 B=256/L=257/H=16/D=64: 8.8 ms/layer vs 7.9 ms for the XLA einsum (the
@@ -105,7 +105,7 @@ def mha_nocausal(
     return out[:, :L]
 
 
-def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_valid: int, scale: float):
+def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_valid: int, scale: float, causal: bool = False):
     """Head-PAIR attention over model-native [1, Lp, H*D] blocks.
 
     Lane slices are 128-aligned by pairing heads (2 x 64 lanes); the 'wrong'
@@ -117,7 +117,11 @@ def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_v
     lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
     half0 = (lane < head_dim).astype(jnp.bfloat16)
     half1 = (lane >= head_dim).astype(jnp.bfloat16)
-    colmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < l_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
+    colmask = col < l_valid
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
+        colmask = jnp.logical_and(colmask, col <= row)
 
     for hp in range(heads // 2):
         sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
@@ -147,11 +151,13 @@ def mha_paired(
     heads: int,
     scale: Optional[float] = None,
     interpret: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Fused attention over model-native [B, L, H*D] tensors (no relayout).
 
     Requires an even head count and head_dim 64 (CLIP/BLIP towers).  Padded
-    KEY positions masked; padded QUERY rows trimmed.
+    KEY positions masked; padded QUERY rows trimmed.  `causal` applies the
+    lower-triangular mask inside the kernel (the CLIP text tower).
     """
     from jax.experimental import pallas as pl
 
@@ -167,7 +173,9 @@ def mha_paired(
         k = jnp.pad(k, padding)
         v = jnp.pad(v, padding)
 
-    kernel = functools.partial(_paired_kernel, heads=heads, head_dim=head_dim, l_valid=L, scale=scale)
+    kernel = functools.partial(
+        _paired_kernel, heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Lp, W), q.dtype),
@@ -179,43 +187,47 @@ def mha_paired(
     return out[:, :L]
 
 
-def mha_reference(q, k, v, scale: Optional[float] = None):
+def mha_reference(q, k, v, scale: Optional[float] = None, causal: bool = False):
     """einsum reference with the same [B, L, H, D] layout."""
     D = q.shape[-1]
     scale = D**-0.5 if scale is None else scale
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if causal:
+        L = q.shape[1]
+        tril = jnp.tril(jnp.ones((L, L), dtype=bool))
+        logits = jnp.where(tril[None, None], logits, jnp.float32(NEG))
     p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
 
-def _einsum_flat(q, k, v, heads: int, scale: float):
+def _einsum_flat(q, k, v, heads: int, scale: float, causal: bool = False):
     """einsum attention over model-native [B, L, H*D] tensors."""
     B, L, W = q.shape
     D = W // heads
     out = mha_reference(
-        q.reshape(B, L, heads, D), k.reshape(B, L, heads, D), v.reshape(B, L, heads, D), scale
+        q.reshape(B, L, heads, D), k.reshape(B, L, heads, D), v.reshape(B, L, heads, D), scale, causal
     )
     return out.reshape(B, L, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def paired_attention(q, k, v, heads: int, scale: float, interpret: bool = False):
-    """Differentiable fused attention over [B, L, H*D] (non-causal).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def paired_attention(q, k, v, heads: int, scale: float, interpret: bool = False, causal: bool = False):
+    """Differentiable fused attention over [B, L, H*D].
 
     Forward runs the paired-head Pallas kernel (1.9x the einsum on v5e at
     ViT-L shapes); backward recomputes through the einsum formulation --
     exactly the gradients the einsum path would produce.
     """
-    return mha_paired(q, k, v, heads, scale, interpret=interpret)
+    return mha_paired(q, k, v, heads, scale, interpret=interpret, causal=causal)
 
 
-def _paired_fwd(q, k, v, heads, scale, interpret):
-    return mha_paired(q, k, v, heads, scale, interpret=interpret), (q, k, v)
+def _paired_fwd(q, k, v, heads, scale, interpret, causal):
+    return mha_paired(q, k, v, heads, scale, interpret=interpret, causal=causal), (q, k, v)
 
 
-def _paired_bwd(heads, scale, interpret, residuals, g):
+def _paired_bwd(heads, scale, interpret, causal, residuals, g):
     q, k, v = residuals
-    _, vjp_fn = jax.vjp(lambda q, k, v: _einsum_flat(q, k, v, heads, scale), q, k, v)
+    _, vjp_fn = jax.vjp(lambda q, k, v: _einsum_flat(q, k, v, heads, scale, causal), q, k, v)
     return vjp_fn(g)
 
 
