@@ -179,6 +179,10 @@ class MBEIRMainDataset(MBEIRDatasetBase):
         # pools mix datasets; reference mbeir_dataset.py:202-205).
         if self.mode == Mode.EVAL:
             pos_cand_list = [d for d in pos_cand_list if d.split(":")[0] == query_dataset_id]
+            assert len(pos_cand_list) > 0, (
+                f"EVAL pos-candidate filter left no candidates from dataset "
+                f"{query_dataset_id} for query {qid}"
+            )
 
         selected_pos_cand_did = self._select_cand(pos_cand_list)
         pos_cand = self.cand_pool.get(selected_pos_cand_did)
@@ -200,7 +204,10 @@ class MBEIRMainDataset(MBEIRDatasetBase):
                 self.rng.shuffle(neg_ids)
             for i in range(self.hard_neg_num):
                 did = neg_ids[i % len(neg_ids)]
-                neg = dict(self.cand_pool.get(did, None))
+                neg = self.cand_pool.get(did)
+                # explicit message, matching reference mbeir_dataset.py:236-239
+                assert neg is not None, f"Cannot find negative candidate {did} for query {qid}"
+                neg = dict(neg)
                 neg["txt"] = format_string(neg.get("txt") or "")
                 selected_neg_cands.append(neg)
                 selected_neg_dids.append(did)

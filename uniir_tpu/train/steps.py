@@ -53,11 +53,14 @@ def make_clip_train_step(
     in_batch_neg_num: int = 0,
     mesh: Optional[Mesh] = None,
     with_dropout: bool = False,
+    seed: int = 0,
 ) -> Callable:
     """Train step for the CLIP family (SF and FF share the loss).
 
     `with_dropout` enables stochastic layers during training (CLIP-FF's T5
-    fusion stack has dropout 0.1; plain CLIP towers have none).
+    fusion stack has dropout 0.1; plain CLIP towers have none).  `seed`
+    (config.seed) keys the per-step dropout rng so differently-seeded runs
+    get distinct stochasticity.
     """
 
     n_hosts = jax.process_count()  # host-major global batch layout
@@ -75,7 +78,7 @@ def make_clip_train_step(
         return out["loss"], out
 
     def step(state: TrainState, batch):
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, dropout_rng)
         new_state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss, "inbatch_accuracy": out["accuracy"]}
@@ -111,6 +114,7 @@ def make_blip_train_step(
     hard_neg_num: int = 0,
     mesh: Optional[Mesh] = None,
     with_dropout: bool = True,
+    seed: int = 0,
 ) -> Callable:
     """Train step for the BLIP family (SF and FF share the loss machinery).
 
@@ -134,7 +138,7 @@ def make_blip_train_step(
         inputs = _model_inputs(batch)
         p_dids = batch["p_did_list"]
         n_dids = batch.get("nc_dids_list") if hard_neg_num > 0 else None
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
         emb_m = model.apply(
             {"params": state.params_m}, *inputs, deterministic=True
@@ -167,7 +171,7 @@ def make_blip_train_step(
 
         # enqueue: positives, or (coin flip) first hard negatives
         if hard_neg_num > 0:
-            coin = jax.random.bernoulli(jax.random.fold_in(jax.random.PRNGKey(1), state.step))
+            coin = jax.random.bernoulli(jax.random.fold_in(jax.random.PRNGKey(seed + 1), state.step))
             cand_feats = jnp.where(coin, out["enqueue_pos_cand"], out["enqueue_neg_cand"])
             cand_idx = jnp.where(coin, p_dids, n_dids[:, 0])
         else:

@@ -131,7 +131,9 @@ def build_train_setup(config, mesh=None, bundle=None):
             embed_dim=bundle.embed_dim,
             momentum=bundle.extra.get("momentum", 0.995),
         )
-        train_step = make_blip_train_step(bundle.model, hard_neg_num=hard_neg_num, mesh=mesh)
+        train_step = make_blip_train_step(
+            bundle.model, hard_neg_num=hard_neg_num, mesh=mesh, seed=int(config.seed)
+        )
         eval_step = make_blip_eval_step(bundle.model, hard_neg_num=hard_neg_num)
     else:
         fusion_lr = getattr(trainer_config, "t5_learning_rate", None)
@@ -151,6 +153,7 @@ def build_train_setup(config, mesh=None, bundle=None):
             in_batch_neg_num=in_batch_neg_num,
             mesh=mesh,
             with_dropout=(model_name == "CLIPFeatureFusion"),  # T5 fusion dropout
+            seed=int(config.seed),
         )
         eval_step = make_clip_eval_step(bundle.model, hard_neg_num=hard_neg_num, in_batch_neg_num=in_batch_neg_num)
 
