@@ -380,3 +380,87 @@ def test_convert_checkpoint_tiny_size_key():
     from uniir_tpu.models import convert as c
 
     assert "ViT-L/14" in c._LAYERS
+
+
+# ---------------------------------------------------------------------------
+# Strict conversion audit (round-2)
+# ---------------------------------------------------------------------------
+
+
+def _save_ckpt(tmp_path, sd, name="ckpt.pth"):
+    p = tmp_path / name
+    torch.save({"model": sd}, str(p))
+    return str(p)
+
+
+def test_strict_convert_rejects_unknown_key(tmp_path):
+    cfg = CLIP_CONFIGS["test-tiny"]
+    sd = fake_clip_sd(cfg)
+    sd["visual.mystery.weight"] = torch.randn(4, 4)
+    path = _save_ckpt(tmp_path, sd)
+    with pytest.raises(ValueError, match="mystery"):
+        convert.convert_checkpoint(path, "CLIPScoreFusion", "test-tiny", strict=True)
+    # non-strict: warns but converts
+    params = convert.convert_checkpoint(path, "CLIPScoreFusion", "test-tiny", strict=False)
+    assert "visual" in params
+
+
+def test_strict_convert_rejects_renamed_key(tmp_path):
+    cfg = CLIP_CONFIGS["test-tiny"]
+    sd = fake_clip_sd(cfg)
+    sd["ln_final.gamma"] = sd.pop("ln_final.weight")  # renamed key must not load silently
+    path = _save_ckpt(tmp_path, sd)
+    with pytest.raises(KeyError):
+        convert.convert_checkpoint(path, "CLIPScoreFusion", "test-tiny", strict=True)
+
+
+def test_strict_convert_accepts_expected_unused_blip(tmp_path):
+    vit_cfg, med_cfg = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    sd = fake_blip_sd(vit_cfg, med_cfg, with_pooler=False)
+    # published BLIP-SF checkpoints carry momentum twins, queues and buffers
+    sd["visual_encoder_m.cls_token"] = torch.randn(1, 1, vit_cfg.width)
+    sd["vision_proj_m.weight"] = torch.randn(16, vit_cfg.width)
+    sd["query_queue"] = torch.randn(16, 8)
+    sd["idx_queue"] = torch.zeros(1, 8)
+    sd["queue_ptr"] = torch.zeros(1)
+    sd["text_encoder.embeddings.position_ids"] = torch.arange(16)[None]
+    path = _save_ckpt(tmp_path, sd)
+    params = convert.convert_checkpoint(path, "BLIPScoreFusion", "test-tiny", strict=True)
+    assert "visual_encoder" in params
+
+
+def test_token_type_embeddings_folded_into_positions():
+    vit_cfg, med_cfg = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    sd_t = fake_blip_sd(vit_cfg, med_cfg, with_pooler=False)
+    H = med_cfg.hidden_size
+    tt = torch.randn(2, H)
+    sd_t["text_encoder.embeddings.token_type_embeddings.weight"] = tt
+    sd = convert.to_numpy_state_dict(sd_t)
+    params = convert.convert_blip_sf_params(sd, vit_cfg.layers, med_cfg.num_hidden_layers)
+    base = sd["text_encoder.embeddings.position_embeddings.weight"]
+    np.testing.assert_allclose(
+        params["text_encoder"]["position_embeddings"], base + np.asarray(tt)[0][None, :], rtol=1e-6
+    )
+
+
+def test_target_coverage_check_detects_missing_leaf(tmp_path):
+    cfg = CLIP_CONFIGS["test-tiny"]
+    path = _save_ckpt(tmp_path, fake_clip_sd(cfg))
+    good = convert.convert_checkpoint(path, "CLIPScoreFusion", "test-tiny")
+    like = jax.tree_util.tree_map(lambda x: x, good)
+    like["extra_head"] = {"kernel": np.zeros((4, 4))}  # model expects a leaf the ckpt lacks
+    with pytest.raises(ValueError, match="missing leaf"):
+        convert.check_target_coverage(good, like)
+    convert.check_target_coverage(good, good)  # identical trees pass
+
+
+def test_blip_patch_grid_derived_from_checkpoint():
+    """image_size + the ckpt's own patch kernel decide the pos-embed grid."""
+    vit_cfg, med_cfg = BLIP_VIT_CONFIGS["test-tiny"], MED_CONFIGS["test-tiny"]
+    sd = convert.to_numpy_state_dict(fake_blip_sd(vit_cfg, med_cfg, with_pooler=False))
+    big = vit_cfg.image_size * 2  # double resolution, same patch size
+    params = convert.convert_blip_sf_params(
+        sd, vit_cfg.layers, med_cfg.num_hidden_layers, image_size=big
+    )
+    want = (big // vit_cfg.patch_size) ** 2
+    assert params["visual_encoder"]["pos_embed"].shape == (1, want + 1, vit_cfg.width)
