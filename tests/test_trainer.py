@@ -134,8 +134,8 @@ def test_load_train_params_from_epoch_ckpt(train_root, mesh8):
     from uniir_tpu.core.checkpoint import load_train_params
 
     bundle = clip_bundle()
-    ckpt = os.path.join(train_root, "checkpoint/test/test_sf_epoch_1/state.msgpack")
-    assert os.path.exists(ckpt)
+    ckpt = os.path.join(train_root, "checkpoint/test/test_sf_epoch_1")
+    assert os.path.isdir(ckpt)
     params = load_train_params(ckpt, like=bundle.params)
     # loaded params differ from fresh init (they were trained)
     fresh = jax.tree_util.tree_leaves(bundle.params)[0]

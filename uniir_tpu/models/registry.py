@@ -173,8 +173,15 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
             size_key = config.model.clip_vision_model_name
         else:
             size_key = getattr(config.model, "vit", "base")
-        n_patches = (bundle.image_size[0] // 16) ** 2 if name.startswith("BLIP") else None
-        bundle.params = convert_checkpoint(torch_ckpt, name, size_key, num_patches=n_patches)
+        strict = bool(getattr(config.model, "strict_convert", False))
+        bundle.params = convert_checkpoint(
+            torch_ckpt,
+            name,
+            size_key,
+            image_size=bundle.image_size[0] if name.startswith("BLIP") else None,
+            strict=strict,
+            like=bundle.params if strict else None,
+        )
         print(f"Converted {name} torch checkpoint from {torch_ckpt}")
 
     ckpt_cfg = getattr(config.model, "ckpt_config", None)
@@ -182,15 +189,22 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
     if ckpt_name:
         ckpt_path = os.path.join(config.uniir_dir, ckpt_cfg.ckpt_dir, ckpt_name)
         if os.path.isdir(ckpt_path):  # epoch train-state checkpoint dir
-            params_file = os.path.join(ckpt_path, "state.msgpack")
             from uniir_tpu.core.checkpoint import load_train_params
 
-            bundle.params = load_train_params(params_file, like=bundle.params)
+            bundle.params = load_train_params(ckpt_path, like=bundle.params)
         elif ckpt_path.endswith((".pth", ".pt")):
             from uniir_tpu.models.convert import convert_checkpoint
 
             size_key = config.model.clip_vision_model_name if name.startswith("CLIP") else getattr(config.model, "vit", "base")
-            bundle.params = convert_checkpoint(ckpt_path, name, size_key)
+            strict = bool(getattr(config.model, "strict_convert", False))
+            bundle.params = convert_checkpoint(
+                ckpt_path,
+                name,
+                size_key,
+                image_size=bundle.image_size[0] if name.startswith("BLIP") else None,
+                strict=strict,
+                like=bundle.params if strict else None,
+            )
         else:
             from uniir_tpu.core.checkpoint import load_params
 
