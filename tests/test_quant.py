@@ -32,6 +32,44 @@ def test_int8_matmul_close_to_float():
     assert rel < 0.03, rel
 
 
+def test_fused_pallas_int8_matmul_interpret():
+    """quant_pallas kernel (interpret mode) == the XLA int8 formulation."""
+    from uniir_tpu.ops.quant_pallas import fused_int8_matmul, fused_int8_matmul_supported
+
+    rng = np.random.default_rng(3)
+    M, K, N = 640, 256, 128  # M % tile != 0 exercises the pad/slice path
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    b = rng.normal(size=(N,)).astype(np.float32)
+    q, scale = quantize_weight(w)
+    assert fused_int8_matmul_supported(x.shape, K, N)
+    y_pl = np.asarray(
+        fused_int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(scale), jnp.asarray(b), interpret=True),
+        np.float32,
+    )
+    y_f = x @ w + b
+    rel = np.abs(y_pl - y_f).max() / np.abs(y_f).max()
+    assert rel < 0.03, rel
+    # 3-D leading dims flatten/restore
+    y3 = fused_int8_matmul(
+        jnp.asarray(x.reshape(2, M // 2, K)), jnp.asarray(q), jnp.asarray(scale), None, interpret=True
+    )
+    assert y3.shape == (2, M // 2, N)
+    np.testing.assert_allclose(
+        np.asarray(y3, np.float32).reshape(M, N), y_pl - b[None, :], rtol=0.05, atol=0.05
+    )
+
+
+def test_fused_pallas_int8_support_gate():
+    from uniir_tpu.ops.quant_pallas import MAX_K, fused_int8_matmul_supported
+
+    assert not fused_int8_matmul_supported((512, MAX_K * 2), MAX_K * 2, 1024)  # K too big
+    assert not fused_int8_matmul_supported((512, 300), 300, 1024)  # K not lane-aligned
+    assert not fused_int8_matmul_supported((512, 1024), 1024, 96)  # N not lane-aligned
+    assert not fused_int8_matmul_supported((8, 1024), 1024, 1024)  # tiny M: XLA path
+    assert fused_int8_matmul_supported((256, 77, 768), 768, 3072)
+
+
 def test_quantized_clip_sf_embeddings_agree():
     model_f = CLIPScoreFusion(CFG)
     model_q = CLIPScoreFusion(CFG, quant=True)
