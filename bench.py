@@ -1,39 +1,51 @@
-"""Benchmark: CLIP-L (ViT-L/14) multimodal embedding throughput per chip.
+"""Benchmark: the three BASELINE.json metrics, one JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline (the `metric`/`value` fields): CLIP-L (ViT-L/14) multimodal
+embedding throughput per chip.  The reference embeds M-BEIR with CLIP-SF
+Large at batch 2048 fp16 on A100-80GB (reference eval/inbatch/embed.yaml:88,14).
+An A100 at fp16 dense peak 312 TFLOPs running the ~175 GFLOP/pair CLIP-L
+image+text forward at a typical ~50% torch-autocast utilization gives
+~890 pairs/s -- the `A100_BASELINE_PAIRS_PER_SEC` the ratio is computed
+against.
 
-This is the headline number from BASELINE.json ("CLIP-L embeds/sec/chip"):
-the reference embeds M-BEIR with CLIP-SF Large at batch 2048 fp16 on A100-80GB
-(reference eval/inbatch/embed.yaml:88,14).  An A100 at fp16 dense peak
-312 TFLOPs running the ~175 GFLOP/pair CLIP-L image+text forward at a typical
-~50% torch-autocast utilization gives ~890 pairs/s -- that is the
-`A100_BASELINE_PAIRS_PER_SEC` the ratio is computed against.
+`extra_metrics` carries the other two BASELINE metrics (round-1 VERDICT
+item 6):
+  * `retrieval_qps_5.6m_pool`  -- batched query QPS of the fused Pallas
+    top-k over a synthetic 5,600,000 x 768 bf16 pool (the FAISS
+    replacement; reference mbeir_retriever.py:188-232).  Baseline: 8x A100
+    FAISS sharded exact IP search, ~0.8 s for a 10k-query batch => ~12.5k
+    QPS (vs_baseline against that).
+  * `clip_l_train_examples_per_sec` -- full jitted train step
+    (fwd+bwd+AdamW) throughput at batch 64.
 
-Run on the real chip: `python bench.py` (uses whatever jax.devices() gives --
-a TPU under the driver, CPU elsewhere with much smaller shapes).
+All numbers are device time via the amortized scan method: running the op N
+times inside one jit (data-dependent scan, so XLA cannot CSE the repeats)
+and differencing 1-rep vs N-rep walls -- per-call host fetches are floored
+by the ~36 ms dispatch+fetch round trip of this rig's remote-TPU relay, and
+block_until_ready is not a reliable barrier there.
+
+Run on the real chip: `python bench.py` (CPU fallback uses tiny shapes and
+reports vs_baseline 0).
 """
 
 import json
-import os
-import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _amortized(run1, runN, reps):
+    t1, tn = run1(), runN()
+    return (tn - t1) / (reps - 1)
 
+
+def bench_embed(jax, jnp, on_tpu):
     from uniir_tpu.models.clip import CLIP_CONFIGS
     from uniir_tpu.models.clip_sf import CLIPScoreFusion
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform != "cpu"
-
     if on_tpu:
         model_name, batch, iters, warmup = "ViT-L/14", 256, 10, 3
-    else:  # CPU smoke path for local runs
+    else:
         model_name, batch, iters, warmup = "test-tiny", 32, 3, 1
 
     cfg = CLIP_CONFIGS[model_name]
@@ -44,27 +56,23 @@ def main() -> None:
     img = rng.normal(size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
     mask = np.ones((2,), np.int32)
     params = model.init(jax.random.PRNGKey(0), txt, img, mask, mask)["params"]
-    params = jax.device_put(jax.tree_util.tree_map(lambda x: x, params))
+    params = jax.device_put(params)
 
     txt_b = rng.integers(1, cfg.vocab_size - 1, size=(batch, cfg.context_length)).astype(np.int32)
     img_b = rng.normal(size=(batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
     mask_b = np.ones((batch,), np.int32)
-
     txt_b, img_b, mask_b = jax.device_put((txt_b, img_b, mask_b))
 
-    # Device-time measurement: run the op `reps` times inside one jit (scan
-    # with a data dependency so XLA can't CSE the repeats) and difference the
-    # 1-rep and N-rep walls.  A per-call host fetch is floored by the
-    # dispatch+fetch round trip (~36 ms over remote-TPU relays), and
-    # block_until_ready alone is not a reliable completion barrier there.
     def make_embed(reps):
         @jax.jit
         def f(params, txt, img, mask):
             def body(carry, _):
                 emb = model.apply({"params": params}, txt, carry, mask, mask)
                 return carry + emb[0, 0] * 1e-9, emb.astype(jnp.float16)
+
             _, embs = jax.lax.scan(body, img, None, length=reps)
             return embs
+
         return f
 
     reps = max(2, iters // 2)
@@ -79,12 +87,133 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t1, tn = run(f1), run(fn)
-    per_op = (tn - t1) / (reps - 1) if reps > 1 else t1
-    pairs_per_sec = batch / per_op
+    per_op = _amortized(lambda: run(f1), lambda: run(fn), reps)
+    return batch / per_op
 
+
+def bench_retrieval(jax, jnp, on_tpu):
+    """Fused Pallas top-k QPS over the (synthetic) 5.6M x 768 union pool."""
+    from uniir_tpu.ops.topk_pallas import CHUNK, pallas_topk
+
+    if on_tpu:
+        n_pool, dim, n_q, k = 5_600_000, 768, 256, 10
+    else:
+        n_pool, dim, n_q, k = 4 * CHUNK, 32, 16, 5
+
+    pad = (-n_pool) % CHUNK
+    key = jax.random.PRNGKey(0)
+    pool = jax.random.normal(key, (n_pool + pad, dim), jnp.bfloat16)
+    queries = jax.random.normal(jax.random.PRNGKey(1), (n_q, dim), jnp.bfloat16)
+
+    reps = 6
+
+    def make(r):
+        @jax.jit
+        def f(q, pool):
+            def body(carry, _):
+                s, idx = pallas_topk(carry, pool, k, valid_n=n_pool, interpret=not on_tpu)
+                return carry + s[:1, :1].astype(carry.dtype) * 1e-9, (s, idx)
+
+            _, (s, idx) = jax.lax.scan(body, q, None, length=r)
+            return s
+
+        return f
+
+    f1, fn = make(1), make(reps)
+
+    def run(f):
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            out = f(queries, pool)
+            float(jnp.sum(out[0, :2, :2].astype(jnp.float32)))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    per_op = _amortized(lambda: run(f1), lambda: run(fn), reps)
+    return n_q / per_op
+
+
+def bench_train_step(jax, jnp, on_tpu):
+    """Full CLIP-L train step (fwd+bwd+AdamW) examples/s at batch 64."""
+    from uniir_tpu.models.clip import CLIP_CONFIGS
+    from uniir_tpu.models.clip_sf import CLIPScoreFusion
+    from uniir_tpu.train.optimizer import make_clip_optimizer
+    from uniir_tpu.train.state import TrainState
+    from uniir_tpu.train.steps import make_clip_train_step
+
+    if on_tpu:
+        model_name, bs = "ViT-L/14", 64
+    else:
+        model_name, bs = "test-tiny", 8
+
+    cfg = CLIP_CONFIGS[model_name]
+    model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    txt = rng.integers(1, cfg.vocab_size - 1, size=(2 * bs, cfg.context_length)).astype(np.int32)
+    img = rng.normal(size=(2 * bs, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    mask = np.ones((2 * bs,), np.int32)
+    params = model.init(jax.random.PRNGKey(0), txt[:2], img[:2], mask[:2], mask[:2])["params"]
+    tx = make_clip_optimizer(params, learning_rate=1e-5, total_steps=1000)
+    state = TrainState.create(params=params, tx=tx)
+    step = make_clip_train_step(model)
+    batch = jax.device_put(
+        {
+            "txt_batched": txt,
+            "image_batched": img,
+            "txt_mask_batched": mask,
+            "image_mask_batched": mask,
+        }
+    )
+
+    # donation prevents the N-rep scan trick; time a short fixed loop of real
+    # steps instead, fetching only at the ends.
+    state, _ = step(state, batch)  # compile
+    jax.block_until_ready(state.params["logit_scale"])
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch)
+    float(jax.device_get(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / n
+    return bs / dt
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    pairs_per_sec = bench_embed(jax, jnp, on_tpu)
     A100_BASELINE_PAIRS_PER_SEC = 890.0
-    vs_baseline = pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC if on_tpu else 0.0
+    A100x8_FAISS_QPS = 12_500.0
+
+    extras = []
+    try:
+        qps = bench_retrieval(jax, jnp, on_tpu)
+        extras.append(
+            {
+                "metric": "retrieval_qps_5.6m_pool" if on_tpu else "retrieval_qps_cpu_smoke",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / A100x8_FAISS_QPS, 4) if on_tpu else 0.0,
+            }
+        )
+    except Exception as e:  # extras must never kill the headline metric
+        extras.append({"metric": "retrieval_qps_5.6m_pool", "error": repr(e)[:300]})
+    try:
+        exs = bench_train_step(jax, jnp, on_tpu)
+        extras.append(
+            {
+                "metric": "clip_l_train_examples_per_sec" if on_tpu else "train_examples_per_sec_cpu_smoke",
+                "value": round(exs, 1),
+                "unit": "examples/s",
+            }
+        )
+    except Exception as e:
+        extras.append({"metric": "clip_l_train_examples_per_sec", "error": repr(e)[:300]})
 
     print(
         json.dumps(
@@ -92,7 +221,8 @@ def main() -> None:
                 "metric": "clip_l_embeds_per_sec_per_chip" if on_tpu else "clip_tiny_embeds_per_sec_cpu_smoke",
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
-                "vs_baseline": round(vs_baseline, 4),
+                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
+                "extra_metrics": extras,
             }
         )
     )
