@@ -51,7 +51,6 @@ def _kernel(xq_ref, w_ref, as_ref, ws_ref, b_ref, o_ref, *, with_bias: bool):
     o_ref[:] = y.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
 def _int8_matmul_2d(
     xq: jnp.ndarray,  # [M, K] int8, M % tm == 0
     w_q: jnp.ndarray,  # [K, N] int8
@@ -66,9 +65,13 @@ def _int8_matmul_2d(
     N = w_q.shape[1]
     with_bias = bias is not None
     b = bias if with_bias else jnp.zeros((N,), jnp.float32)
+    # cdiv grid: boundary blocks are masked by Pallas, so M need not divide
+    # tm.  An explicit jnp.pad/slice pair instead costs ~3 ms per call site
+    # on the (8,128)/(32,128)-tiled TPU layouts (measured via the HLO cost
+    # model and the 493-vs-300 ms int8 vision tower).
     return pl.pallas_call(
         functools.partial(_kernel, with_bias=with_bias),
-        grid=(M // tm, N // tn),
+        grid=(pl.cdiv(M, tm), N // tn),
         in_specs=[
             pl.BlockSpec((tm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -91,26 +94,43 @@ def _int8_matmul_2d(
 
 
 def _vmem_bytes(tm: int, K: int, tn: int) -> int:
-    """Double-buffered int8 x / int8 w / bf16 out blocks + int32 accumulator
-    + one f32 epilogue temp."""
-    return 2 * tm * K + 2 * K * tn + 2 * 2 * tm * tn + 8 * tm * tn
+    """Scoped-VMEM model: double-buffered int8 x block (2*tm*K), double-
+    buffered int8 w block (2*K*tn), double-buffered bf16 out block
+    (4*tm*tn), f32 accumulator (4*tm*tn).  Calibrated on v5e: 12.6-13.6 MB
+    configurations compile, >= 16.8 MB OOM the 16 MB scoped limit."""
+    return 2 * K * (tm + tn) + 8 * tm * tn
 
 
-_VMEM_BUDGET = 12 * 2**20  # headroom under the 16 MB/core scoped limit
+_VMEM_BUDGET = 14 * 2**20
+
+# Measured preference order (v5e, M=65536):  K=1024 shapes hit 369 TOPs at
+# (1024,1024) vs 336 at (2048,512) and ~264 at (512,1024); K=4096 fc2 hits
+# 328 at (1024,256) vs 319 at (512,512).  int8 MXU peak is 394.
+_TILE_CANDIDATES = (
+    (1024, 1024),
+    (2048, 512),
+    (1024, 768),
+    (1024, 512),
+    (512, 1024),
+    (1024, 256),
+    (512, 512),
+    (512, 256),
+    (256, 256),
+    (256, 128),
+    (128, 128),
+)
 
 
 def _pick_tiles(M: int, K: int, N: int):
-    """Largest tile pair under the VMEM budget.  TM first: the x block is
-    fetched once per i-sweep regardless of TN (its index is constant across
-    j), while total weight traffic is (M/TM) * K*N bytes -- so tall TM is
-    the reuse lever.  Then the widest TN that fits (fewer revisits of the
-    output row-strip, larger MXU feed)."""
-    for tm in (512, 256, 128):
-        for tn in (1024, 512, 256, 128):
-            if N % tn:
-                continue
-            if _vmem_bytes(tm, K, tn) <= _VMEM_BUDGET:
-                return tm, tn
+    """Best measured tile pair that divides N and fits the VMEM budget.
+    Tall TM is the weight-reuse lever (total weight traffic is
+    (M/TM) * K*N bytes; the x block is fetched once per i-sweep regardless
+    of TN since its index is constant across j)."""
+    for tm, tn in _TILE_CANDIDATES:
+        if N % tn:
+            continue
+        if _vmem_bytes(tm, K, tn) <= _VMEM_BUDGET:
+            return tm, tn
     return 128, 128
 
 
@@ -144,13 +164,7 @@ def fused_int8_matmul(
     M = int(np.prod(lead)) if lead else 1
     xq, a_scale = quantize_activation(x.reshape(M, K))
     tm, tn = _pick_tiles(M, K, N)
-    pad = (-M) % tm
-    if pad:
-        xq = jnp.pad(xq, ((0, pad), (0, 0)))
-        a_scale = jnp.pad(a_scale, ((0, pad), (0, 0)))
     out = _int8_matmul_2d(
         xq, w_q, a_scale.astype(jnp.float32), w_scale, None if bias is None else bias.astype(jnp.float32), tm, tn, interpret
     )
-    if pad:
-        out = out[:M]
     return out.reshape(*lead, N)
