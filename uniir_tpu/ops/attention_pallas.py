@@ -117,6 +117,13 @@ def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_v
     lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
     half0 = (lane < head_dim).astype(jnp.bfloat16)
     half1 = (lane >= head_dim).astype(jnp.bfloat16)
+    # Zero V's padded rows: with masked boundary blocks the rows past
+    # l_valid are uninitialized VMEM, and p=0 times a NaN bit pattern would
+    # poison valid rows (0 * NaN = NaN).  K needs no such mask (its garbage
+    # logits are overwritten via colmask before softmax); Q's garbage rows
+    # only produce garbage output rows that the masked write drops.
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 0)
+    vmask = (vrow < l_valid).astype(jnp.bfloat16)
     col = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
     colmask = col < l_valid
     if causal:
@@ -127,7 +134,7 @@ def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_v
         sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
         q2 = q_ref[0, :, sl]  # [Lp, 128]
         k2 = k_ref[0, :, sl]
-        v2 = v_ref[0, :, sl]
+        v2 = v_ref[0, :, sl] * vmask
         out = None
         for mask in (half0, half1):
             s = jax.lax.dot_general(
@@ -166,25 +173,27 @@ def mha_paired(
     assert heads % 2 == 0 and head_dim * heads == W
     scale = head_dim**-0.5 if scale is None else scale
 
+    # Blocks are Lp = ceil8(L) rows tall while the arrays stay L rows: Pallas
+    # masks the boundary block, so no explicit jnp.pad / out-slice pair is
+    # needed (those lower to expensive windowed relayout ops on the (8,128)
+    # tiling -- the HLO cost model prices each [256,257,1024] pad at ~2 ms).
+    # Garbage rows read past L never affect valid output: padded KEY
+    # positions are masked in-kernel via l_valid, and out-of-range QUERY rows
+    # are dropped by the masked boundary write.
     Lp = -(-L // 8) * 8
-    if Lp != L:
-        padding = ((0, 0), (0, Lp - L), (0, 0))
-        q = jnp.pad(q, padding)
-        k = jnp.pad(k, padding)
-        v = jnp.pad(v, padding)
 
     kernel = functools.partial(
         _paired_kernel, heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Lp, W), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, L, W), q.dtype),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, Lp, W), lambda i: (i, 0, 0))] * 3,
         out_specs=pl.BlockSpec((1, Lp, W), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
-    return out[:, :L]
+    return out
 
 
 def mha_reference(q, k, v, scale: Optional[float] = None, causal: bool = False):

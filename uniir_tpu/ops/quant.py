@@ -68,7 +68,13 @@ def int8_matmul(x: jnp.ndarray, kernel_q: jnp.ndarray, w_scale: jnp.ndarray, bia
     import os
 
     K, N = kernel_q.shape
-    backend = os.environ.get("UNIIR_INT8_BACKEND", "pallas")  # pallas | xla
+    # Backend choice is measured, not assumed: the Pallas kernel wins raw
+    # microbenchmarks (up to ~369 TOPs vs the 394 int8 MXU peak) but loses
+    # IN-GRAPH -- XLA fuses the dequant epilogue into downstream
+    # bias/gelu/residual elementwise while a custom call cannot, and the
+    # CLIP-L vision tower measures 272 ms (xla) vs 380 ms (pallas).  See
+    # docs/PERFORMANCE.md for the full ablation.
+    backend = os.environ.get("UNIIR_INT8_BACKEND", "xla")  # xla | pallas
     if backend == "pallas" and jax.default_backend() == "tpu":
         from uniir_tpu.ops.quant_pallas import fused_int8_matmul, fused_int8_matmul_supported
 
