@@ -117,13 +117,17 @@ def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_v
     lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
     half0 = (lane < head_dim).astype(jnp.bfloat16)
     half1 = (lane >= head_dim).astype(jnp.bfloat16)
-    # Zero V's padded rows: with masked boundary blocks the rows past
-    # l_valid are uninitialized VMEM, and p=0 times a NaN bit pattern would
-    # poison valid rows (0 * NaN = NaN).  K needs no such mask (its garbage
-    # logits are overwritten via colmask before softmax); Q's garbage rows
-    # only produce garbage output rows that the masked write drops.
+    # Zero V's padded rows: with boundary-masked blocks the rows past
+    # l_valid read whatever sits in the producer's physical tile padding --
+    # measured to include NaN bit patterns when the producer is an in-graph
+    # op like the CLS-token concatenate (device_put buffers happen to
+    # zero-fill, which hides the bug).  Must be a SELECT: a multiply-by-0
+    # mask preserves NaN (0 * NaN = NaN) and p=0 @ NaN-V then poisons valid
+    # rows.  K needs no mask (its garbage logits are overwritten via colmask
+    # before softmax -- jnp.where replaces NaN too); Q's garbage rows only
+    # produce garbage output rows that the masked boundary write drops.
     vrow = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 0)
-    vmask = (vrow < l_valid).astype(jnp.bfloat16)
+    vkeep = vrow < l_valid
     col = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
     colmask = col < l_valid
     if causal:
@@ -134,7 +138,7 @@ def _paired_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_v
         sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
         q2 = q_ref[0, :, sl]  # [Lp, 128]
         k2 = k_ref[0, :, sl]
-        v2 = v_ref[0, :, sl] * vmask
+        v2 = jnp.where(vkeep, v_ref[0, :, sl], jnp.bfloat16(0))
         out = None
         for mask in (half0, half1):
             s = jax.lax.dot_general(
