@@ -39,7 +39,9 @@ def _amortized(run1, runN, reps):
     return (tn - t1) / (reps - 1)
 
 
-def bench_embed(jax, jnp, on_tpu):
+def bench_embed(jax, jnp, on_tpu, quant=False):
+    """Embed pairs/s; quant=True runs the int8 serving path (cosine vs bf16
+    >= 0.9995, docs/PERFORMANCE.md int8 ablation)."""
     from uniir_tpu.models.clip import CLIP_CONFIGS
     from uniir_tpu.models.clip_sf import CLIPScoreFusion
 
@@ -49,13 +51,18 @@ def bench_embed(jax, jnp, on_tpu):
         model_name, batch, iters, warmup = "test-tiny", 32, 3, 1
 
     cfg = CLIP_CONFIGS[model_name]
-    model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16)
+    model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16, quant=quant)
 
     rng = np.random.default_rng(0)
     txt = rng.integers(1, cfg.vocab_size - 1, size=(2, cfg.context_length)).astype(np.int32)
     img = rng.normal(size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
     mask = np.ones((2,), np.int32)
-    params = model.init(jax.random.PRNGKey(0), txt, img, mask, mask)["params"]
+    init_model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16)
+    params = init_model.init(jax.random.PRNGKey(0), txt, img, mask, mask)["params"]
+    if quant:
+        from uniir_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
     params = jax.device_put(params)
 
     txt_b = rng.integers(1, cfg.vocab_size - 1, size=(batch, cfg.context_length)).astype(np.int32)
@@ -191,6 +198,18 @@ def main() -> None:
     A100x8_FAISS_QPS = 12_500.0
 
     extras = []
+    try:
+        int8_pairs = bench_embed(jax, jnp, on_tpu, quant=True)
+        extras.append(
+            {
+                "metric": "clip_l_embeds_per_sec_per_chip_int8" if on_tpu else "embeds_per_sec_int8_cpu_smoke",
+                "value": round(int8_pairs, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(int8_pairs / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
+            }
+        )
+    except Exception as e:
+        extras.append({"metric": "clip_l_embeds_per_sec_per_chip_int8", "error": repr(e)[:300]})
     try:
         qps = bench_retrieval(jax, jnp, on_tpu)
         extras.append(
