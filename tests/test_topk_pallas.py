@@ -66,6 +66,32 @@ def test_attention_pallas_matches_reference():
     )
 
 
+def test_mha_paired_masked_boundary_blocks():
+    """mha_paired with L not a multiple of 8 (the masked-boundary path that
+    replaced the jnp.pad wrapper): exact vs the einsum reference, causal and
+    non-causal, including an exact-multiple L as control."""
+    from uniir_tpu.ops.attention_pallas import mha_paired, mha_reference
+
+    rng = np.random.default_rng(7)
+    for B, L, H, D, causal in [(2, 29, 4, 64, False), (2, 21, 4, 64, True), (2, 32, 4, 64, False)]:
+        W = H * D
+        q = jnp.asarray(rng.normal(size=(B, L, W)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, L, W)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, L, W)), jnp.bfloat16)
+        out = np.asarray(mha_paired(q, k, v, H, interpret=True, causal=causal), np.float32)
+        ref = np.asarray(
+            mha_reference(
+                jnp.asarray(np.asarray(q, np.float32).reshape(B, L, H, D)),
+                jnp.asarray(np.asarray(k, np.float32).reshape(B, L, H, D)),
+                jnp.asarray(np.asarray(v, np.float32).reshape(B, L, H, D)),
+                causal=causal,
+            ),
+            np.float32,
+        ).reshape(B, L, W)
+        assert not np.isnan(out).any(), (L, causal)
+        np.testing.assert_allclose(out, ref, atol=3e-2)
+
+
 def test_paired_attention_in_model_and_grads():
     """Fused paired attention inside the vision tower (bf16): forward matches
     the einsum path and gradients flow (custom VJP through einsum)."""
