@@ -48,13 +48,24 @@ def _bucket_max_kernel(q_ref, pool_ref, valid_ref, out_ref):
     )  # [QT, CHUNK] fp32
     Q = scores.shape[0]
     tiles = scores.reshape(Q, GROUP, 128)
-    # mask padding rows: global row = i*CHUNK + m*128 + l
+    # Padding-row masking (global row = i*CHUNK + m*128 + l) is only needed
+    # on chunks that straddle valid_n -- building the [Q, GROUP, 128] iotas
+    # and the where on every chunk is measurable VPU overhead across the
+    # ~2.7k-chunk sweep of the 5.6M pool, so interior chunks skip it.
     base = pl.program_id(0) * CHUNK
-    m_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 1)
-    l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
-    row = base + m_idx * 128 + l_idx
-    tiles = jnp.where(row < valid_ref[0, 0], tiles, jnp.float32(NEG))
-    out_ref[...] = jnp.max(tiles, axis=1)  # [Q, 128] fp32 (bf16 would lose ties)
+    valid = valid_ref[0, 0]
+
+    @pl.when(base + CHUNK > valid)
+    def _():
+        m_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 1)
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
+        row = base + m_idx * 128 + l_idx
+        masked = jnp.where(row < valid, tiles, jnp.float32(NEG))
+        out_ref[...] = jnp.max(masked, axis=1)  # fp32 (bf16 would lose ties)
+
+    @pl.when(base + CHUNK <= valid)
+    def _():
+        out_ref[...] = jnp.max(tiles, axis=1)
 
 
 def bucket_max_scores(
@@ -101,6 +112,90 @@ def bucket_max_scores(
     return out[:Q]
 
 
+def _bucket_max_kernel_i8(q_ref, pool_ref, qs_ref, ps_ref, valid_ref, out_ref):
+    """int8 variant: int8 x int8 -> int32 on the MXU (2x the bf16 rate),
+    dequantized per-element before the bucket max."""
+    from jax.experimental import pallas as pl
+
+    q = q_ref[...]  # [QT, D] int8
+    chunk_rows = pool_ref[...]  # [CHUNK, D] int8
+    acc = jax.lax.dot_general(
+        q, chunk_rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = acc.astype(jnp.float32) * qs_ref[...] * ps_ref[...]  # [QT, CHUNK]
+    Q = scores.shape[0]
+    tiles = scores.reshape(Q, GROUP, 128)
+    base = pl.program_id(0) * CHUNK
+    valid = valid_ref[0, 0]
+
+    @pl.when(base + CHUNK > valid)
+    def _():
+        m_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 1)
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
+        row = base + m_idx * 128 + l_idx
+        masked = jnp.where(row < valid, tiles, jnp.float32(NEG))
+        out_ref[...] = jnp.max(masked, axis=1)
+
+    @pl.when(base + CHUNK <= valid)
+    def _():
+        out_ref[...] = jnp.max(tiles, axis=1)
+
+
+def quantize_pool(pool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 pool: (pool_q [N, D] int8, scale [N] f32)."""
+    pool = jnp.asarray(pool)
+    amax = jnp.max(jnp.abs(pool.astype(jnp.float32)), axis=1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(pool.astype(jnp.float32) / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def bucket_max_scores_i8(
+    queries: jnp.ndarray,
+    pool_q: jnp.ndarray,
+    pool_scale: jnp.ndarray,
+    valid_n: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8 phase-1: approximate strided-bucket maxima [Q, N/GROUP] (f32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, D = queries.shape
+    N = pool_q.shape[0]
+    assert N % CHUNK == 0, f"pool rows must be a multiple of {CHUNK}"
+    n_chunks = N // CHUNK
+    valid = jnp.asarray([[N if valid_n is None else valid_n]], jnp.int32)
+
+    qf = queries.astype(jnp.float32)
+    q_amax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+    q_scale = jnp.maximum(q_amax, 1e-6) / 127.0
+    q_q = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+
+    qt = min(Q_TILE, Q) if Q % min(Q_TILE, Q) == 0 else Q_TILE
+    pad_q = (-Q) % qt
+    if pad_q:
+        q_q = jnp.concatenate([q_q, jnp.zeros((pad_q, D), jnp.int8)], axis=0)
+        q_scale = jnp.concatenate([q_scale, jnp.ones((pad_q, 1), jnp.float32)], axis=0)
+    n_q = q_q.shape[0] // qt
+
+    out = pl.pallas_call(
+        _bucket_max_kernel_i8,
+        out_shape=jax.ShapeDtypeStruct((q_q.shape[0], n_chunks * 128), jnp.float32),
+        grid=(n_chunks, n_q),
+        in_specs=[
+            pl.BlockSpec((qt, D), lambda i, qi: (qi, 0)),
+            pl.BlockSpec((CHUNK, D), lambda i, qi: (i, 0)),
+            pl.BlockSpec((qt, 1), lambda i, qi: (qi, 0)),
+            pl.BlockSpec((1, CHUNK), lambda i, qi: (0, i)),
+            pl.BlockSpec((1, 1), lambda i, qi: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((qt, 128), lambda i, qi: (qi, i)),
+        interpret=interpret,
+    )(q_q, pool_q, q_scale, pool_scale.reshape(1, N), valid)
+    return out[:Q]
+
+
 def _bucket_rows(bucket_ids: jnp.ndarray) -> jnp.ndarray:
     """Global pool rows of each strided bucket: [..., GROUP]."""
     chunk_idx = bucket_ids // 128
@@ -109,41 +204,59 @@ def _bucket_rows(bucket_ids: jnp.ndarray) -> jnp.ndarray:
     return chunk_idx[..., None] * CHUNK + m * 128 + lane[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "valid_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "valid_n", "interpret", "overfetch"))
 def pallas_topk(
     queries: jnp.ndarray,
     pool: jnp.ndarray,
     k: int,
     valid_n: Optional[int] = None,
     interpret: bool = False,
+    pool_quant: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    overfetch: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner-product search with the fused Pallas kernel.
 
     Returns (scores [Q, k] fp32, indices [Q, k] int32).  Requires
     pool rows % CHUNK == 0 (use ops.topk.pad_pool_for_chunks) and Q >= 8.
+
+    `pool_quant=(pool_q, pool_scale)` (from `quantize_pool`) switches the
+    bucket-max sweep -- the one pass over the full pool, where all the FLOPs
+    are -- to the int8 MXU (2x the bf16 rate).  The bucket maxima become
+    approximate, so `overfetch * k` buckets are selected and their rows
+    rescored EXACTLY against the bf16 `pool`; the final ranking is exact
+    w.r.t. bf16 scores as long as every true top-k row's bucket survives the
+    widened candidate cut (validated at overfetch=4 in tests/bench).
     """
     Q, D = queries.shape
     N = pool.shape[0]
     valid_n = N if valid_n is None else valid_n
 
-    maxima = bucket_max_scores(queries, pool, valid_n=valid_n, interpret=interpret)  # [Q, NB] fp32
+    if pool_quant is not None:
+        pool_q, pool_scale = pool_quant
+        maxima = bucket_max_scores_i8(
+            queries, pool_q, pool_scale, valid_n=valid_n, interpret=interpret
+        )
+        k_sel = min(overfetch * k, maxima.shape[1])
+    else:
+        maxima = bucket_max_scores(queries, pool, valid_n=valid_n, interpret=interpret)  # [Q, NB] fp32
+        k_sel = k
     NB = maxima.shape[1]
 
     # hierarchical selection over the maxima (avoids one big TopK call)
-    if NB % 128 == 0 and NB > k * 128:
+    if NB % 128 == 0 and NB > k_sel * 128:
         tiles = maxima.reshape(Q, NB // 128, 128)
         tile_max = jnp.max(tiles, axis=-1)  # [Q, NB/128] fp32
-        _, tids = jax.lax.top_k(tile_max, k)
-        cand = jnp.take_along_axis(tiles, tids[:, :, None], axis=1).reshape(Q, k * 128)
-        _, pos = jax.lax.top_k(cand, k)
-        flat = (tids[:, :, None] * 128 + jnp.arange(128)[None, None, :]).reshape(Q, k * 128)
-        bucket_ids = jnp.take_along_axis(flat, pos, axis=1)  # [Q, k]
+        _, tids = jax.lax.top_k(tile_max, k_sel)
+        cand = jnp.take_along_axis(tiles, tids[:, :, None], axis=1).reshape(Q, k_sel * 128)
+        _, pos = jax.lax.top_k(cand, k_sel)
+        flat = (tids[:, :, None] * 128 + jnp.arange(128)[None, None, :]).reshape(Q, k_sel * 128)
+        bucket_ids = jnp.take_along_axis(flat, pos, axis=1)  # [Q, k_sel]
     else:
-        _, bucket_ids = jax.lax.top_k(maxima, k)
+        _, bucket_ids = jax.lax.top_k(maxima, k_sel)
 
     # gather candidate pool rows and rescore in fp32-accumulated bf16
-    row_ids = _bucket_rows(bucket_ids).reshape(Q, k * GROUP)  # [Q, k*GROUP]
-    cand_rows = pool[row_ids]  # [Q, k*GROUP, D]
+    row_ids = _bucket_rows(bucket_ids).reshape(Q, k_sel * GROUP)  # [Q, k_sel*GROUP]
+    cand_rows = pool[row_ids]  # [Q, k_sel*GROUP, D]
     scores = jnp.einsum(
         "qd,qnd->qn",
         queries.astype(jnp.bfloat16),
