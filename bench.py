@@ -142,7 +142,12 @@ def bench_retrieval(jax, jnp, on_tpu):
 
 
 def bench_train_step(jax, jnp, on_tpu):
-    """Full CLIP-L train step (fwd+bwd+AdamW) examples/s at batch 64."""
+    """Full CLIP-L train step (fwd+bwd+AdamW) examples/s at batch 64,
+    measured in DEVICE time: the raw (non-donating) step is scanned N times
+    inside one jit -- each iteration consumes the previous state, so XLA
+    cannot CSE the repeats -- and the 1-rep vs N-rep walls are differenced.
+    The round-2 number (83 ex/s) timed a Python loop of donated steps and was
+    floored by this rig's ~36 ms/dispatch remote-TPU relay."""
     from uniir_tpu.models.clip import CLIP_CONFIGS
     from uniir_tpu.models.clip_sf import CLIPScoreFusion
     from uniir_tpu.train.optimizer import make_clip_optimizer
@@ -150,9 +155,9 @@ def bench_train_step(jax, jnp, on_tpu):
     from uniir_tpu.train.steps import make_clip_train_step
 
     if on_tpu:
-        model_name, bs = "ViT-L/14", 64
+        model_name, bs, reps = "ViT-L/14", 64, 4
     else:
-        model_name, bs = "test-tiny", 8
+        model_name, bs, reps = "test-tiny", 8, 2
 
     cfg = CLIP_CONFIGS[model_name]
     model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16)
@@ -163,7 +168,7 @@ def bench_train_step(jax, jnp, on_tpu):
     params = model.init(jax.random.PRNGKey(0), txt[:2], img[:2], mask[:2], mask[:2])["params"]
     tx = make_clip_optimizer(params, learning_rate=1e-5, total_steps=1000)
     state = TrainState.create(params=params, tx=tx)
-    step = make_clip_train_step(model)
+    raw_step = make_clip_train_step(model, jit=False)
     batch = jax.device_put(
         {
             "txt_batched": txt,
@@ -173,17 +178,31 @@ def bench_train_step(jax, jnp, on_tpu):
         }
     )
 
-    # donation prevents the N-rep scan trick; time a short fixed loop of real
-    # steps instead, fetching only at the ends.
-    state, _ = step(state, batch)  # compile
-    jax.block_until_ready(state.params["logit_scale"])
-    n = 6
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = step(state, batch)
-    float(jax.device_get(metrics["loss"]))
-    dt = (time.perf_counter() - t0) / n
-    return bs / dt
+    def make(r):
+        @jax.jit
+        def f(state, batch):
+            def body(st, _):
+                st2, metrics = raw_step(st, batch)
+                return st2, metrics["loss"]
+
+            st, losses = jax.lax.scan(body, state, None, length=r)
+            return losses
+
+        return f
+
+    f1, fn = make(1), make(reps)
+
+    def run(f):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(state, batch)
+            float(jnp.sum(out.astype(jnp.float32)))  # host fetch = barrier
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    per_step = _amortized(lambda: run(f1), lambda: run(fn), reps)
+    return bs / per_step
 
 
 def main() -> None:
@@ -194,8 +213,17 @@ def main() -> None:
     on_tpu = dev.platform != "cpu"
 
     pairs_per_sec = bench_embed(jax, jnp, on_tpu)
+    # All baselines are builder-constructed ESTIMATES (the reference repo
+    # publishes no throughput numbers): A100 fp16 dense peak x a typical
+    # utilization over the measured per-example FLOPs.  See the module
+    # docstring for each derivation; "baseline_basis" marks them as such.
     A100_BASELINE_PAIRS_PER_SEC = 890.0
     A100x8_FAISS_QPS = 12_500.0
+    # Train: ~525 GFLOP/pair fwd+bwd (3x the 175 GFLOP forward) at 312 TF
+    # fp16 x ~50% autocast utilization => ~297 ex/s per A100; AdamW and the
+    # loss all_gather ride inside the same utilization discount.
+    A100_TRAIN_EX_PER_SEC = 297.0
+    BASIS = "estimate"
 
     extras = []
     try:
@@ -206,6 +234,7 @@ def main() -> None:
                 "value": round(int8_pairs, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(int8_pairs / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
+                "baseline_basis": BASIS,
             }
         )
     except Exception as e:
@@ -218,6 +247,7 @@ def main() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / A100x8_FAISS_QPS, 4) if on_tpu else 0.0,
+                "baseline_basis": BASIS,
             }
         )
     except Exception as e:  # extras must never kill the headline metric
@@ -229,6 +259,8 @@ def main() -> None:
                 "metric": "clip_l_train_examples_per_sec" if on_tpu else "train_examples_per_sec_cpu_smoke",
                 "value": round(exs, 1),
                 "unit": "examples/s",
+                "vs_baseline": round(exs / A100_TRAIN_EX_PER_SEC, 4) if on_tpu else 0.0,
+                "baseline_basis": BASIS,
             }
         )
     except Exception as e:
@@ -241,6 +273,7 @@ def main() -> None:
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
+                "baseline_basis": BASIS,
                 "extra_metrics": extras,
             }
         )

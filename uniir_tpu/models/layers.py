@@ -105,9 +105,11 @@ class MultiHeadAttention(nn.Module):
                 qkv = qkv_dense(x)
                 q, k, v = qkv[..., :W], qkv[..., W : 2 * W], qkv[..., 2 * W :]
             else:
-                q = qkv_dense(x)[..., :W]
-                kv_out = qkv_dense(kv)
-                k, v = kv_out[..., W : 2 * W], kv_out[..., 2 * W :]
+                # cross-attention: slice the quantized kernel columns so each
+                # operand pays only the thirds it uses (q for x, k/v for kv)
+                q = qkv_dense(x, columns=(0, W))
+                kv_out = qkv_dense(kv, columns=(W, 3 * W))
+                k, v = kv_out[..., :W], kv_out[..., W:]
         else:
             # bf16: same fused [W, 3W] param, but three dots over kernel
             # SLICES -- weight slices are 2 MB copies, while slicing a fused

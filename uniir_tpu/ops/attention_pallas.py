@@ -200,6 +200,119 @@ def mha_paired(
     return out
 
 
+def _paired_stack_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_valid: int,
+    scale: float, causal: bool, rows: int
+):
+    """Row-STACKED head-pair attention (round-3 rebuild of `_paired_kernel`).
+
+    The round-2 kernel ran two masked sub-passes per head pair (one per
+    64-lane half), each with its own [Lp, Lp] softmax -- measured
+    softmax/VPU-bound at ~9%% of the matmul roofline (VERDICT r2).  This
+    version stacks the pair along ROWS instead:
+
+      qcat = [q * half0 * scale ; q * half1 * scale]   # [2Lp, 128]
+      s    = qcat @ k^T                                 # [2Lp, Lp], ONE matmul
+      p    = softmax_rows(s)                            # ONE mask/max/exp/sum
+      out  = p[:Lp] @ (v*half0) + p[Lp:] @ (v*half1)    # disjoint lane halves
+
+    Row r of qcat has the other head's lanes zeroed, so the full-width
+    contraction yields head0's logits in the top Lp rows and head1's in the
+    bottom -- same FLOPs as the two-pass version (the D=64 contraction
+    padding is structural) but HALF the VPU reduction ops, one fused exp
+    pass, and larger better-pipelined matmuls.  Softmax scale is folded into
+    the qcat masks (a [Lp,128] multiply that was needed anyway, replacing a
+    [Lp,Lp] fp32 one) and the 1/rowsum normalization is applied to the
+    [Lp,128] OUTPUT instead of the [Lp,Lp] probabilities.  `rows` batch rows
+    are processed per grid step so the scheduler can overlap one (r, hp)
+    iteration's VPU softmax with another's MXU matmuls.
+
+    NaN discipline (see `_paired_kernel`): V rows past l_valid are zeroed
+    via SELECT (multiply keeps NaN); K's garbage columns die at the colmask
+    select; Q's garbage rows produce garbage rows the boundary write drops.
+    """
+    Lp = q_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
+    is0 = lane < head_dim
+    half0s = jnp.where(is0, jnp.bfloat16(scale), jnp.bfloat16(0))
+    half1s = jnp.where(is0, jnp.bfloat16(0), jnp.bfloat16(scale))
+    half0 = is0.astype(jnp.bfloat16)
+    half1 = jnp.bfloat16(1) - half0
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 0)
+    vkeep = vrow < l_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (2 * Lp, Lp), 1)
+    colmask = col < l_valid
+    if causal:
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (2 * Lp, Lp), 0) % Lp
+        colmask = jnp.logical_and(colmask, col <= qrow)
+
+    for r in range(rows):
+        for hp in range(heads // 2):
+            sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
+            q2 = q_ref[r, :, sl]  # [Lp, 128] bf16
+            k2 = k_ref[r, :, sl]
+            v2 = jnp.where(vkeep, v_ref[r, :, sl], jnp.bfloat16(0))
+            qcat = jnp.concatenate([q2 * half0s, q2 * half1s], axis=0)  # [2Lp, 128]
+            s = jax.lax.dot_general(
+                qcat, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [2Lp, Lp]
+            s = jnp.where(colmask, s, jnp.float32(NEG))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            rsum = jnp.sum(e, axis=-1, keepdims=True)  # [2Lp, 1] fp32
+            p = e.astype(jnp.bfloat16)  # unnormalized (values in [0, 1])
+            o0 = jax.lax.dot_general(
+                p[:Lp], v2 * half0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            o1 = jax.lax.dot_general(
+                p[Lp:], v2 * half1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # per-head 1/rowsum, broadcast to each head's lane half
+            rn = jnp.where(is0, 1.0 / rsum[:Lp], 1.0 / rsum[Lp:])  # [Lp, 128]
+            o_ref[r, :, sl] = ((o0 + o1) * rn).astype(o_ref.dtype)
+
+
+def mha_paired_stack(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    causal: bool = False,
+    rows: int = 4,
+) -> jnp.ndarray:
+    """Row-stacked fused attention over model-native [B, L, H*D] tensors.
+
+    Same contract as `mha_paired` (even head count, head_dim 64 on TPU,
+    masked ceil8 boundary blocks, no relayouts); `rows` batch rows are
+    processed per grid step.
+    """
+    from jax.experimental import pallas as pl
+
+    B, L, W = q.shape
+    head_dim = W // heads
+    assert heads % 2 == 0 and head_dim * heads == W
+    scale = head_dim**-0.5 if scale is None else scale
+    while B % rows:
+        rows //= 2
+    Lp = -(-L // 8) * 8
+
+    kernel = functools.partial(
+        _paired_stack_kernel,
+        heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal, rows=rows,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, L, W), q.dtype),
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, Lp, W), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((rows, Lp, W), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    return out
+
+
 def mha_reference(q, k, v, scale: Optional[float] = None, causal: bool = False):
     """einsum reference with the same [B, L, H, D] layout."""
     D = q.shape[-1]

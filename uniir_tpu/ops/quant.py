@@ -99,11 +99,21 @@ class QuantDense(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, columns=None):
+        """`columns=(lo, hi)` restricts the matmul to output columns
+        [lo, hi) -- used by the fused qkv projection's cross-attention path
+        so the x operand pays only its q third and the kv operand only its
+        k/v two-thirds (a full 3W projection per operand wastes one [W, W]
+        int8 matmul per call)."""
         in_features = x.shape[-1]
         kernel_q = self.param("kernel_q", nn.initializers.zeros, (in_features, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        if columns is not None:
+            lo, hi = columns
+            kernel_q = kernel_q[:, lo:hi]
+            scale = scale[lo:hi]
+            bias = bias[lo:hi] if bias is not None else None
         return int8_matmul(x, kernel_q, scale, bias).astype(self.dtype)
 
 

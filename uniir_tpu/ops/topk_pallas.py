@@ -204,7 +204,7 @@ def _bucket_rows(bucket_ids: jnp.ndarray) -> jnp.ndarray:
     return chunk_idx[..., None] * CHUNK + m * 128 + lane[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "valid_n", "interpret", "overfetch"))
+@functools.partial(jax.jit, static_argnames=("k", "valid_n", "interpret", "overfetch", "with_guard"))
 def pallas_topk(
     queries: jnp.ndarray,
     pool: jnp.ndarray,
@@ -213,7 +213,8 @@ def pallas_topk(
     interpret: bool = False,
     pool_quant: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     overfetch: int = 4,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_guard: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Exact top-k inner-product search with the fused Pallas kernel.
 
     Returns (scores [Q, k] fp32, indices [Q, k] int32).  Requires
@@ -221,11 +222,19 @@ def pallas_topk(
 
     `pool_quant=(pool_q, pool_scale)` (from `quantize_pool`) switches the
     bucket-max sweep -- the one pass over the full pool, where all the FLOPs
-    are -- to the int8 MXU (2x the bf16 rate).  The bucket maxima become
-    approximate, so `overfetch * k` buckets are selected and their rows
-    rescored EXACTLY against the bf16 `pool`; the final ranking is exact
-    w.r.t. bf16 scores as long as every true top-k row's bucket survives the
-    widened candidate cut (validated at overfetch=4 in tests/bench).
+    are -- to the int8 MXU (2x the bf16 rate).  This path is APPROXIMATE in
+    a bounded sense: the int8 bucket maxima carry per-row quantization error,
+    so `overfetch * k` buckets are selected and their rows rescored EXACTLY
+    against the bf16 `pool`.  The final ranking is exact w.r.t. bf16 scores
+    only if every true top-k row's bucket survives the widened cut --
+    overfetch=4 is validated empirically on Gaussian/real-embedding pools,
+    but a distribution whose score margins are flat relative to the
+    quantization error can silently lose recall.  `with_guard=True` appends a
+    per-query bool `ok [Q]` to the return: the k-th exact rescored score
+    clears the cut line (the k_sel-th selected int8 bucket maximum), i.e. no
+    unexamined bucket could plausibly hold a true top-k row.  Callers that
+    need certainty re-run queries with `ok == False` at a larger overfetch
+    (or with pool_quant=None, which is exact unconditionally).
     """
     Q, D = queries.shape
     N = pool.shape[0]
@@ -265,4 +274,15 @@ def pallas_topk(
     )
     scores = jnp.where(row_ids < valid_n, scores, NEG)
     vals, pos = jax.lax.top_k(scores, k)
-    return vals, jnp.take_along_axis(row_ids, pos, axis=1).astype(jnp.int32)
+    idx = jnp.take_along_axis(row_ids, pos, axis=1).astype(jnp.int32)
+    if not with_guard:
+        return vals, idx
+    if pool_quant is None:
+        ok = jnp.ones((Q,), bool)  # exact path: always certain
+    else:
+        # cut line = smallest selected int8 bucket maximum; every unexamined
+        # bucket's (approximate) maximum is below it.  If the k-th EXACT
+        # score clears the cut, no dropped bucket could hold a top-k row.
+        cut = jnp.min(jnp.take_along_axis(maxima, bucket_ids, axis=1), axis=1)
+        ok = vals[:, k - 1] >= cut
+    return vals, idx, ok

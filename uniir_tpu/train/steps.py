@@ -54,13 +54,16 @@ def make_clip_train_step(
     mesh: Optional[Mesh] = None,
     with_dropout: bool = False,
     seed: int = 0,
+    jit: bool = True,
 ) -> Callable:
     """Train step for the CLIP family (SF and FF share the loss).
 
     `with_dropout` enables stochastic layers during training (CLIP-FF's T5
     fusion stack has dropout 0.1; plain CLIP towers have none).  `seed`
     (config.seed) keys the per-step dropout rng so differently-seeded runs
-    get distinct stochasticity.
+    get distinct stochasticity.  `jit=False` returns the raw (traceable,
+    non-donating) step for callers that embed it in a larger jitted program
+    (bench.py scans it to measure device time free of dispatch overhead).
     """
 
     n_hosts = jax.process_count()  # host-major global batch layout
@@ -84,6 +87,8 @@ def make_clip_train_step(
         metrics = {"loss": loss, "inbatch_accuracy": out["accuracy"]}
         return new_state, metrics
 
+    if not jit:
+        return step
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())

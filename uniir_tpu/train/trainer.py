@@ -247,8 +247,10 @@ def main(config, mesh=None, bundle=None, wandb_run=None) -> dict:
                 best_inbatch_accuracy = inbatch_accuracy
                 best_epoch = epoch
 
-        if is_main_process():
-            save_train_checkpoint(ckpt_dir, short_name, state, epoch, config)
+        # every process participates: orbax's save barriers are collective
+        # (rank 0 alone would hang a jax.distributed run); meta.json and the
+        # log line stay rank-0-only inside save_train_checkpoint
+        save_train_checkpoint(ckpt_dir, short_name, state, epoch, config)
         last_stats = log_results(train_stats, val_stats, None, epoch, best_epoch)
         if wandb_run is not None and is_main_process():
             wandb_run.log(last_stats)
