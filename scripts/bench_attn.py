@@ -79,6 +79,18 @@ def main():
             variants[f"stack rows={r}"] = (
                 lambda q, k, v, r=r: ap.mha_paired_stack(q, k, v, H, scale, interp, causal, rows=r)
             )
+    for g in (2, 4, 8):
+        if f"pg{g}" in args.variants:
+            variants[f"stack pg={g}"] = (
+                lambda q, k, v, g=g: ap.mha_paired_stack(q, k, v, H, scale, interp, causal, rows=1, pair_group=g)
+            )
+    for impl in ("matmul_only", "no_max", "exp2"):
+        if impl in args.variants:
+            variants[f"stack {impl}"] = (
+                lambda q, k, v, impl=impl: ap.mha_paired_stack(
+                    q, k, v, H, scale, interp, causal, rows=1, softmax_impl=impl
+                )
+            )
 
     # correctness spot-check before timing
     ref = np.asarray(ap._einsum_flat(q[:2], k[:2], v[:2], H, scale, causal), np.float32)

@@ -118,9 +118,54 @@ def build_config(args, embed_dim: int, image_size: int):
     )
 
 
+def build_sweep_config(args, embed_dim: int, image_size: int):
+    """The FULL reference retrieval.yaml sweep: all 16 dataset runs against
+    their local pools AND the union pool -- 32 retrieval rows, union + 16
+    single-pool indexes (reference large/eval/inbatch/retrieval.yaml:147-181).
+    """
+    from uniir_tpu.core.config import Config
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from tests.helpers import SWEEP_RUNS, sweep_pool_name
+
+    runs = [r for r, _, _ in SWEEP_RUNS]
+    pools = [sweep_pool_name(r) for r in runs]
+    heavy = {"fashion200k_task0", "fashion200k_task3", "fashioniq_task7"}
+    metrics = ["Recall@10, Recall@20, Recall@50" if r in heavy else "Recall@1, Recall@5, Recall@10" for r in runs]
+    base = build_config(args, embed_dim, image_size)
+    d = base.to_dict(resolve=False)
+    d["embed_config"]["test_datasets_config"] = {
+        "enable_embed": True,
+        "datasets_name": list(runs),
+        "correspond_cand_pools_name": list(pools),
+    }
+    d["embed_config"]["cand_pools_config"] = {
+        "enable_embed": True,
+        "embed_union_pool": True,
+        "cand_pools_name_to_embed": list(pools),
+    }
+    d["index_config"]["cand_pools_config"] = {
+        "enable_idx": True,
+        "cand_pools_name_to_idx": list(pools) + ["UNION"],
+    }
+    d["retrieval_config"]["test_datasets_config"] = {
+        "enable_retrieve": True,
+        "datasets_name": runs + runs,
+        "correspond_cand_pools_name": pools + ["UNION"] * len(runs),
+        "correspond_qrels_name": runs + runs,
+        "correspond_metrics_name": metrics + metrics,
+    }
+    return Config.from_dict(d)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--fixture", action="store_true", help="run on a generated synthetic M-BEIR tree + tiny model")
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="drive the FULL 16-dataset union-pool retrieval.yaml sweep (32 runs) instead of one slice",
+    )
     ap.add_argument("--mbeir_data_dir", default=None)
     ap.add_argument("--uniir_dir", default=None)
     ap.add_argument("--dataset", default="mscoco_task0")
@@ -146,13 +191,17 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
         root = tempfile.mkdtemp(prefix="parity_smoke_")
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-        from tests.helpers import build_pipeline_tree, tiny_clip_bundle
+        from tests.helpers import build_pipeline_tree, build_union_sweep_tree, tiny_clip_bundle
 
-        build_pipeline_tree(root)
+        if args.sweep:
+            build_union_sweep_tree(root)
+        else:
+            build_pipeline_tree(root)
         args.mbeir_data_dir = os.path.join(root, "mbeir_data")
         args.uniir_dir = root
         bundle = tiny_clip_bundle()
-        config = build_config(args, embed_dim=bundle.embed_dim, image_size=bundle.image_size[0])
+        maker = build_sweep_config if args.sweep else build_config
+        config = maker(args, embed_dim=bundle.embed_dim, image_size=bundle.image_size[0])
         config.model.name = "CLIPScoreFusion"
     else:
         assert args.mbeir_data_dir and args.uniir_dir, "--mbeir_data_dir/--uniir_dir required without --fixture"
@@ -160,9 +209,10 @@ def main() -> int:
 
         # two-phase: build the model first (it defines embed_dim/image_size),
         # then the full pipeline config
-        config = build_config(args, embed_dim=0, image_size=224)
+        maker = build_sweep_config if args.sweep else build_config
+        config = maker(args, embed_dim=0, image_size=224)
         bundle = build_model_from_config(config)
-        config = build_config(args, embed_dim=bundle.embed_dim, image_size=bundle.image_size[0])
+        config = maker(args, embed_dim=bundle.embed_dim, image_size=bundle.image_size[0])
 
     from uniir_tpu.retrieval.embedder import generate_embeds_for_config
     from uniir_tpu.retrieval.index import create_index

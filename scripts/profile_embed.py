@@ -1,0 +1,167 @@
+"""Per-op device-time accounting of the CLIP-L embed forward (VERDICT r2 #2).
+
+Captures a jax.profiler trace of the jitted batch-256 multimodal embed
+(the bench.py headline workload), parses the XPlane proto from the TPU
+device plane, and aggregates self-time by HLO op category -- the measured
+answer to "where does the non-matmul time go".
+
+Usage (real chip):
+    python scripts/profile_embed.py [--quant] [--batch 256] [--top 25]
+
+Output: a table of (category, ms, %) + the top individual ops, suitable for
+docs/PERFORMANCE.md's profile-accounting section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import tempfile
+
+
+def capture_trace(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniir_tpu.models.clip import CLIP_CONFIGS
+    from uniir_tpu.models.clip_sf import CLIPScoreFusion
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model_name = "ViT-L/14" if on_tpu else "test-tiny"
+    batch = args.batch if on_tpu else 8
+
+    cfg = CLIP_CONFIGS[model_name]
+    model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16, quant=args.quant)
+    init_model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    txt = rng.integers(1, cfg.vocab_size - 1, size=(2, cfg.context_length)).astype(np.int32)
+    img = rng.normal(size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    mask = np.ones((2,), np.int32)
+    params = init_model.init(jax.random.PRNGKey(0), txt, img, mask, mask)["params"]
+    if args.quant:
+        from uniir_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
+    params = jax.device_put(params)
+
+    txt_b = rng.integers(1, cfg.vocab_size - 1, size=(batch, cfg.context_length)).astype(np.int32)
+    img_b = rng.normal(size=(batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    mask_b = np.ones((batch,), np.int32)
+    txt_b, img_b, mask_b = jax.device_put((txt_b, img_b, mask_b))
+
+    reps = args.reps
+
+    @jax.jit
+    def f(params, txt, img, mask):
+        def body(carry, _):
+            emb = model.apply({"params": params}, txt, carry, mask, mask)
+            return carry + emb[0, 0] * 1e-9, emb.astype(jnp.float16)
+
+        _, embs = jax.lax.scan(body, img, None, length=reps)
+        return embs
+
+    # compile + warm
+    out = f(params, txt_b, img_b, mask_b)
+    float(jnp.sum(out[0, :2].astype(jnp.float32)))
+
+    log_dir = args.log_dir or tempfile.mkdtemp(prefix="uniir_embed_trace_")
+    jax.profiler.start_trace(log_dir)
+    out = f(params, txt_b, img_b, mask_b)
+    float(jnp.sum(out[0, :2].astype(jnp.float32)))
+    jax.profiler.stop_trace()
+    return log_dir, reps, batch
+
+
+CATEGORIES = [
+    # (regex over op name, category) -- first match wins
+    (re.compile(r"custom-call.*|.*pallas.*|.*tpu_custom_call.*"), "pallas attention kernel"),
+    (re.compile(r".*(convolution|conv)[.\d]*"), "conv (patch embed)"),
+    (re.compile(r".*(dot|matmul|einsum).*"), "matmul"),
+    (re.compile(r".*(fusion|add|multiply|subtract|divide|exp|tanh|erf|rsqrt|reduce|select|compare|convert|broadcast|iota|concatenate|slice|pad|transpose|copy|reshape|bitcast|gather|scatter|dynamic).*"), "fusion/elementwise"),
+]
+
+
+def classify(name: str, fallback: str = "other") -> str:
+    for rx, cat in CATEGORIES:
+        if rx.match(name):
+            return cat
+    return fallback
+
+
+def parse_xplane(log_dir: str):
+    """Walk the TPU device plane of the captured xplane.pb; return
+    [(op_name, total_self_us, occurrences)]."""
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane.pb under {log_dir}"
+    totals = collections.Counter()
+    counts = collections.Counter()
+    for path in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(path, "rb") as fh:
+            xspace.ParseFromString(fh.read())
+        for plane in xspace.planes:
+            pname = plane.name.lower()
+            if "tpu" not in pname and "device" not in pname:
+                continue
+            if "host" in pname or "python" in pname:
+                continue
+            meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+            for line in plane.lines:
+                lname = line.name.lower()
+                # XLA op lines carry the per-op events; skip step/annotation lines
+                if "xla op" not in lname and "ops" != lname and "xla" not in lname:
+                    continue
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    totals[name] += ev.duration_ps / 1e6  # ps -> us
+                    counts[name] += 1
+    return [(n, totals[n], counts[n]) for n in totals]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--log_dir", default=None)
+    ap.add_argument("--parse_only", default=None, help="parse an existing trace dir instead of capturing")
+    args = ap.parse_args()
+
+    if args.parse_only:
+        log_dir, reps, batch = args.parse_only, args.reps, args.batch
+    else:
+        log_dir, reps, batch = capture_trace(args)
+        print(f"trace: {log_dir}")
+
+    ops = parse_xplane(log_dir)
+    if not ops:
+        print("NO DEVICE OPS FOUND -- relay rig may not export a device plane; fall back to ablation timing")
+        return
+
+    total_us = sum(us for _, us, _ in ops)
+    by_cat = collections.Counter()
+    for name, us, _ in ops:
+        by_cat[classify(name)] += us
+
+    print(f"\n== category totals (trace window: {reps} reps of batch-{batch} embed) ==")
+    print(f"{'category':<28} {'ms':>10} {'ms/rep':>10} {'%':>6}")
+    for cat, us in by_cat.most_common():
+        print(f"{cat:<28} {us / 1e3:>10.2f} {us / 1e3 / reps:>10.2f} {100 * us / total_us:>5.1f}%")
+    print(f"{'TOTAL device':<28} {total_us / 1e3:>10.2f} {total_us / 1e3 / reps:>10.2f}")
+
+    print(f"\n== top {args.top} ops by self time ==")
+    print(f"{'ms/rep':>9} {'n':>5}  op")
+    for name, us, n in sorted(ops, key=lambda t: -t[1])[: args.top]:
+        print(f"{us / 1e3 / reps:>9.3f} {n:>5}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

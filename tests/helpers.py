@@ -195,6 +195,117 @@ def build_pipeline_tree(root: str, n_queries: int = 12, n_cands: int = 24):
     return mbeir
 
 
+# The 16 (dataset, task) runs of the reference union-pool retrieval sweep
+# (reference large/eval/inbatch/retrieval.yaml:147-181): run name, dataset
+# registry name, task id.  MSCOCO's pools carry a _test suffix (separate
+# val/test pools in the real data).
+SWEEP_RUNS = [
+    ("visualnews_task0", "VisualNews", 0),
+    ("mscoco_task0", "MSCOCO", 0),
+    ("fashion200k_task0", "Fashion200K", 0),
+    ("webqa_task1", "WebQA", 1),
+    ("edis_task2", "EDIS", 2),
+    ("webqa_task2", "WebQA", 2),
+    ("visualnews_task3", "VisualNews", 3),
+    ("mscoco_task3", "MSCOCO", 3),
+    ("fashion200k_task3", "Fashion200K", 3),
+    ("nights_task4", "NIGHTS", 4),
+    ("oven_task6", "OVEN", 6),
+    ("infoseek_task6", "INFOSEEK", 6),
+    ("fashioniq_task7", "FashionIQ", 7),
+    ("cirr_task7", "CIRR", 7),
+    ("oven_task8", "OVEN", 8),
+    ("infoseek_task8", "INFOSEEK", 8),
+]
+
+TASK_MODALITIES = {
+    0: ("text", "image"),
+    1: ("text", "text"),
+    2: ("text", "image,text"),
+    3: ("image", "text"),
+    4: ("image", "image"),
+    6: ("image,text", "text"),
+    7: ("image,text", "image"),
+    8: ("image,text", "image,text"),
+}
+
+
+def sweep_pool_name(run_name: str) -> str:
+    """Pool name for a sweep run (MSCOCO's is suffixed _test)."""
+    return run_name + "_test" if run_name.startswith("mscoco") else run_name
+
+
+def build_union_sweep_tree(root: str, n_queries: int = 4, n_cands: int = 8):
+    """Miniature M-BEIR tree covering ALL 16 runs of the reference
+    retrieval.yaml sweep (every task type, correct query/candidate
+    modalities, per-run qrels) plus the union candidate pool -- the fixture
+    for the full-parity dress rehearsal (scripts/parity_smoke.py --sweep)."""
+    import json as _json
+
+    from uniir_tpu.data.registry import DATASET_IDS
+
+    mbeir = os.path.join(root, "mbeir_data")
+    for sub in ("query/test", "cand_pool/local", "cand_pool/union_pool", "qrels/test", "instructions", "images"):
+        os.makedirs(os.path.join(mbeir, sub), exist_ok=True)
+
+    rng = random.Random(0)
+    union_entries = []
+    instr_keys = set()
+    for run_idx, (run_name, ds_name, task) in enumerate(SWEEP_RUNS):
+        ds_id = DATASET_IDS[ds_name]
+        qmod, cmod = TASK_MODALITIES[task]
+        off = 1000 * run_idx  # within-dataset id ranges stay disjoint per run
+        instr_keys.add((qmod, cmod, ds_name, ds_id))
+
+        cands = []
+        for i in range(n_cands):
+            entry = {"did": f"{ds_id}:{off + i}", "modality": cmod}
+            if "text" in cmod:
+                entry["txt"] = " ".join(rng.choices(WORDS, k=4))
+            if "image" in cmod:
+                rel = f"images/{run_name}_cand_{i}.jpg"
+                make_image(os.path.join(mbeir, rel), seed=run_idx * 100 + i)
+                entry["img_path"] = rel
+            cands.append(entry)
+        union_entries.extend(cands)
+
+        queries = []
+        for i in range(n_queries):
+            q = {
+                "qid": f"{ds_id}:{off + i}",
+                "query_modality": qmod,
+                "query_txt": " ".join(rng.choices(WORDS, k=5)) if "text" in qmod else "",
+                "pos_cand_list": [f"{ds_id}:{off + (i * 2) % n_cands}"],
+                "neg_cand_list": [f"{ds_id}:{off + (i * 2 + 1 + j) % n_cands}" for j in range(2)],
+            }
+            if "image" in qmod:
+                rel = f"images/{run_name}_query_{i}.jpg"
+                make_image(os.path.join(mbeir, rel), seed=5000 + run_idx * 100 + i)
+                q["query_img_path"] = rel
+            queries.append(q)
+
+        pool = sweep_pool_name(run_name)
+        with open(os.path.join(mbeir, f"cand_pool/local/mbeir_{pool}_cand_pool.jsonl"), "w") as f:
+            for c in cands:
+                f.write(_json.dumps(c) + "\n")
+        with open(os.path.join(mbeir, f"query/test/mbeir_{run_name}_test.jsonl"), "w") as f:
+            for q in queries:
+                f.write(_json.dumps(q) + "\n")
+        with open(os.path.join(mbeir, f"qrels/test/mbeir_{run_name}_test_qrels.txt"), "w") as f:
+            for q in queries:
+                for did in q["pos_cand_list"]:
+                    f.write(f"{q['qid']} 0 {did} 1 {task}\n")
+
+    with open(os.path.join(mbeir, "cand_pool/union_pool/mbeir_union_test_cand_pool.jsonl"), "w") as f:
+        for c in union_entries:
+            f.write(_json.dumps(c) + "\n")
+    with open(os.path.join(mbeir, "instructions/query_instructions.tsv"), "w") as f:
+        f.write("query_modality\tcand_modality\tdataset\tdataset_id\tprompt1\tprompt2\n")
+        for qmod, cmod, ds_name, ds_id in sorted(instr_keys):
+            f.write(f"{qmod}\t{cmod}\t{ds_name}\t{ds_id}\tfind the {cmod} for this {qmod}\tretrieve {cmod}\n")
+    return mbeir
+
+
 def make_eval_config(root: str, embed_dim: int = 16, image_size: int = 32):
     from uniir_tpu.core.config import Config
 

@@ -202,7 +202,8 @@ def mha_paired(
 
 def _paired_stack_kernel(
     q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int, l_valid: int,
-    scale: float, causal: bool, rows: int
+    scale: float, causal: bool, rows: int, pair_group: int = 1,
+    softmax_impl: str = "full",
 ):
     """Row-STACKED head-pair attention (round-3 rebuild of `_paired_kernel`).
 
@@ -233,11 +234,14 @@ def _paired_stack_kernel(
     """
     Lp = q_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
-    is0 = lane < head_dim
-    half0s = jnp.where(is0, jnp.bfloat16(scale), jnp.bfloat16(0))
-    half1s = jnp.where(is0, jnp.bfloat16(0), jnp.bfloat16(scale))
-    half0 = is0.astype(jnp.bfloat16)
+    # astype-multiply masks, NOT jnp.where over a shared i1 vector: Mosaic
+    # ties an i1 mask's layout to its consumer's bitwidth, and one bool used
+    # in both bf16 and fp32 selects dies in an "Invalid relayout" at compile
+    half0 = (lane < head_dim).astype(jnp.bfloat16)
     half1 = jnp.bfloat16(1) - half0
+    qscale = scale * 1.4426950408889634 if softmax_impl == "exp2" else scale
+    half0s = half0 * jnp.bfloat16(qscale)
+    half1s = half1 * jnp.bfloat16(qscale)
     vrow = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 0)
     vkeep = vrow < l_valid
     col = jax.lax.broadcasted_iota(jnp.int32, (2 * Lp, Lp), 1)
@@ -246,30 +250,61 @@ def _paired_stack_kernel(
         qrow = jax.lax.broadcasted_iota(jnp.int32, (2 * Lp, Lp), 0) % Lp
         colmask = jnp.logical_and(colmask, col <= qrow)
 
-    for r in range(rows):
-        for hp in range(heads // 2):
-            sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
-            q2 = q_ref[r, :, sl]  # [Lp, 128] bf16
-            k2 = k_ref[r, :, sl]
-            v2 = jnp.where(vkeep, v_ref[r, :, sl], jnp.bfloat16(0))
-            qcat = jnp.concatenate([q2 * half0s, q2 * half1s], axis=0)  # [2Lp, 128]
-            s = jax.lax.dot_general(
-                qcat, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [2Lp, Lp]
-            s = jnp.where(colmask, s, jnp.float32(NEG))
+    n_pairs = heads // 2
+
+    def do_pair_scores(r, hp):
+        sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
+        q2 = q_ref[r, :, sl]  # [Lp, 128] bf16
+        k2 = k_ref[r, :, sl]
+        qcat = jnp.concatenate([q2 * half0s, q2 * half1s], axis=0)  # [2Lp, 128]
+        return jax.lax.dot_general(
+            qcat, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [2Lp, Lp]
+
+    def do_pair_out(r, hp, s):
+        sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
+        v2 = jnp.where(vkeep, v_ref[r, :, sl], jnp.bfloat16(0))
+        s = jnp.where(colmask, s, jnp.float32(NEG))
+        if softmax_impl == "matmul_only":  # diagnostic: skip softmax entirely
+            rsum = jnp.full((2 * Lp, 1), 1.0, jnp.float32)
+            p = s.astype(jnp.bfloat16)
+        elif softmax_impl == "no_max":  # diagnostic: price of the max pass
+            e = jnp.exp(s)
+            rsum = jnp.sum(e, axis=-1, keepdims=True)
+            p = e.astype(jnp.bfloat16)
+        elif softmax_impl == "exp2":
+            # exp(x) = 2^(x*log2e); the log2e factor rides the free q-mask
+            # scale multiply, so exp2 saves exp's internal x*log2e step
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - m)
+            rsum = jnp.sum(e, axis=-1, keepdims=True)
+            p = e.astype(jnp.bfloat16)
+        else:
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             rsum = jnp.sum(e, axis=-1, keepdims=True)  # [2Lp, 1] fp32
             p = e.astype(jnp.bfloat16)  # unnormalized (values in [0, 1])
-            o0 = jax.lax.dot_general(
-                p[:Lp], v2 * half0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            o1 = jax.lax.dot_general(
-                p[Lp:], v2 * half1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            # per-head 1/rowsum, broadcast to each head's lane half
-            rn = jnp.where(is0, 1.0 / rsum[:Lp], 1.0 / rsum[Lp:])  # [Lp, 128]
-            o_ref[r, :, sl] = ((o0 + o1) * rn).astype(o_ref.dtype)
+        o0 = jax.lax.dot_general(
+            p[:Lp], v2 * half0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o1 = jax.lax.dot_general(
+            p[Lp:], v2 * half1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # per-head 1/rowsum: o0's head1 lanes are already zero (V was
+        # half-masked), so a full-width broadcast multiply needs no mask
+        o = o0 * (1.0 / rsum[:Lp]) + o1 * (1.0 / rsum[Lp:])
+        o_ref[r, :, sl] = o.astype(o_ref.dtype)
+
+    for r in range(rows):
+        # pair_group > 1 issues several pairs' QK matmuls before their
+        # softmax/PV stages -- explicit software pipelining that widens the
+        # window for the scheduler to overlap MXU and VPU work (each live s
+        # buffer is [2Lp, Lp] fp32, so groups are capped by VMEM)
+        for g0 in range(0, n_pairs, pair_group):
+            group = range(g0, min(g0 + pair_group, n_pairs))
+            scores = [do_pair_scores(r, hp) for hp in group]
+            for hp, s in zip(group, scores):
+                do_pair_out(r, hp, s)
 
 
 def mha_paired_stack(
@@ -280,13 +315,16 @@ def mha_paired_stack(
     scale: Optional[float] = None,
     interpret: bool = False,
     causal: bool = False,
-    rows: int = 4,
+    rows: int = 1,
+    pair_group: int = 1,
+    softmax_impl: str = "full",
 ) -> jnp.ndarray:
     """Row-stacked fused attention over model-native [B, L, H*D] tensors.
 
     Same contract as `mha_paired` (even head count, head_dim 64 on TPU,
     masked ceil8 boundary blocks, no relayouts); `rows` batch rows are
-    processed per grid step.
+    processed per grid step, `pair_group` head pairs' score matmuls are
+    issued ahead of their softmax/PV stages.
     """
     from jax.experimental import pallas as pl
 
@@ -301,6 +339,7 @@ def mha_paired_stack(
     kernel = functools.partial(
         _paired_stack_kernel,
         heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal, rows=rows,
+        pair_group=pair_group, softmax_impl=softmax_impl,
     )
     out = pl.pallas_call(
         kernel,
@@ -340,15 +379,16 @@ def _einsum_flat(q, k, v, heads: int, scale: float, causal: bool = False):
 def paired_attention(q, k, v, heads: int, scale: float, interpret: bool = False, causal: bool = False):
     """Differentiable fused attention over [B, L, H*D].
 
-    Forward runs the paired-head Pallas kernel (1.9x the einsum on v5e at
-    ViT-L shapes); backward recomputes through the einsum formulation --
-    exactly the gradients the einsum path would produce.
+    Forward runs the row-stacked paired-head Pallas kernel (3.4x the einsum
+    / 1.25x the round-2 two-pass kernel on v5e at ViT-L shapes); backward
+    recomputes through the einsum formulation -- exactly the gradients the
+    einsum path would produce.
     """
-    return mha_paired(q, k, v, heads, scale, interpret=interpret, causal=causal)
+    return mha_paired_stack(q, k, v, heads, scale, interpret=interpret, causal=causal)
 
 
 def _paired_fwd(q, k, v, heads, scale, interpret, causal):
-    return mha_paired(q, k, v, heads, scale, interpret=interpret, causal=causal), (q, k, v)
+    return mha_paired_stack(q, k, v, heads, scale, interpret=interpret, causal=causal), (q, k, v)
 
 
 def _paired_bwd(heads, scale, interpret, causal, residuals, g):
