@@ -39,6 +39,20 @@ def _amortized(run1, runN, reps):
     return (tn - t1) / (reps - 1)
 
 
+def _free_device(jax):
+    """Release HBM between benches: drop executable caches (they pin
+    constants) and delete every live device array.  Each bench builds its
+    own arrays, so nothing outlives this on purpose; without it the embed
+    model + int8 twin stay resident and the 8.6 GB retrieval pool OOMs a
+    16 GB v5e."""
+    jax.clear_caches()
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+        except Exception:
+            pass
+
+
 def bench_embed(jax, jnp, on_tpu, quant=False):
     """Embed pairs/s; quant=True runs the int8 serving path (cosine vs bf16
     >= 0.9995, docs/PERFORMANCE.md int8 ablation)."""
@@ -213,6 +227,7 @@ def main() -> None:
     on_tpu = dev.platform != "cpu"
 
     pairs_per_sec = bench_embed(jax, jnp, on_tpu)
+    _free_device(jax)
     # All baselines are builder-constructed ESTIMATES (the reference repo
     # publishes no throughput numbers): A100 fp16 dense peak x a typical
     # utilization over the measured per-example FLOPs.  See the module
@@ -239,6 +254,7 @@ def main() -> None:
         )
     except Exception as e:
         extras.append({"metric": "clip_l_embeds_per_sec_per_chip_int8", "error": repr(e)[:300]})
+    _free_device(jax)
     try:
         qps = bench_retrieval(jax, jnp, on_tpu)
         extras.append(
@@ -252,6 +268,7 @@ def main() -> None:
         )
     except Exception as e:  # extras must never kill the headline metric
         extras.append({"metric": "retrieval_qps_5.6m_pool", "error": repr(e)[:300]})
+    _free_device(jax)
     try:
         exs = bench_train_step(jax, jnp, on_tpu)
         extras.append(

@@ -19,7 +19,10 @@ import collections
 import glob
 import os
 import re
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def capture_trace(args):
@@ -70,6 +73,12 @@ def capture_trace(args):
     float(jnp.sum(out[0, :2].astype(jnp.float32)))
 
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="uniir_embed_trace_")
+    # HLO text alongside the trace: result-name -> metadata op_name lets the
+    # report attribute each fusion to its model op (fc2, qkv_proj, ...)
+    hlo_path = os.path.join(log_dir, "compiled_hlo.txt")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(hlo_path, "w") as fh:
+        fh.write(f.lower(params, txt_b, img_b, mask_b).compile().as_text())
     jax.profiler.start_trace(log_dir)
     out = f(params, txt_b, img_b, mask_b)
     float(jnp.sum(out[0, :2].astype(jnp.float32)))
@@ -79,10 +88,12 @@ def capture_trace(args):
 
 CATEGORIES = [
     # (regex over op name, category) -- first match wins
-    (re.compile(r"custom-call.*|.*pallas.*|.*tpu_custom_call.*"), "pallas attention kernel"),
+    (re.compile(r".*(custom-call|pallas|tpu_custom_call).*"), "pallas kernel (custom call)"),
+    (re.compile(r".*(while|call|jit_|conditional).*"), "control-flow shell"),
     (re.compile(r".*(convolution|conv)[.\d]*"), "conv (patch embed)"),
-    (re.compile(r".*(dot|matmul|einsum).*"), "matmul"),
-    (re.compile(r".*(fusion|add|multiply|subtract|divide|exp|tanh|erf|rsqrt|reduce|select|compare|convert|broadcast|iota|concatenate|slice|pad|transpose|copy|reshape|bitcast|gather|scatter|dynamic).*"), "fusion/elementwise"),
+    (re.compile(r".*(copy-start|copy-done|copy).*"), "copy / layout"),
+    (re.compile(r".*(dot|matmul|einsum).*"), "matmul (incl. fused epilogues)"),
+    (re.compile(r".*(fusion|add|multiply|subtract|divide|exp|tanh|erf|rsqrt|reduce|select|compare|convert|broadcast|iota|concatenate|slice|pad|transpose|reshape|bitcast|gather|scatter|dynamic).*"), "fusion/elementwise"),
 ]
 
 
@@ -94,35 +105,55 @@ def classify(name: str, fallback: str = "other") -> str:
 
 
 def parse_xplane(log_dir: str):
-    """Walk the TPU device plane of the captured xplane.pb; return
-    [(op_name, total_self_us, occurrences)]."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    """Aggregate SELF time per op from the TPU device plane's "XLA Ops" line.
+
+    Events on that line nest (jit_<fn> > while > ops); self time is an
+    event's duration minus the duration of events it strictly contains, via
+    a stack pass over (start, -end)-sorted intervals.  The "Async XLA Ops"
+    line (DMAs that overlap compute) is reported separately as a total.
+    Returns ([(op_name, self_us, count)], async_us).
+    """
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # proto moved across TF versions
+        from tensorflow.core.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
     assert paths, f"no xplane.pb under {log_dir}"
     totals = collections.Counter()
     counts = collections.Counter()
+    async_us = 0.0
     for path in paths:
         xspace = xplane_pb2.XSpace()
         with open(path, "rb") as fh:
             xspace.ParseFromString(fh.read())
         for plane in xspace.planes:
-            pname = plane.name.lower()
-            if "tpu" not in pname and "device" not in pname:
-                continue
-            if "host" in pname or "python" in pname:
+            if not plane.name.startswith("/device:TPU"):
                 continue
             meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
             for line in plane.lines:
-                lname = line.name.lower()
-                # XLA op lines carry the per-op events; skip step/annotation lines
-                if "xla op" not in lname and "ops" != lname and "xla" not in lname:
+                if line.name == "Async XLA Ops":
+                    async_us += sum(ev.duration_ps for ev in line.events) / 1e6
+                if line.name != "XLA Ops":
                     continue
-                for ev in line.events:
-                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    totals[name] += ev.duration_ps / 1e6  # ps -> us
+                evs = sorted(
+                    (
+                        (ev.offset_ps, ev.offset_ps + ev.duration_ps, meta.get(ev.metadata_id, "?"))
+                        for ev in line.events
+                    ),
+                    key=lambda t: (t[0], -t[1]),
+                )
+                stack = []  # (end_ps, name) of open (containing) events
+                for start, end, name in evs:
+                    while stack and start >= stack[-1][0]:
+                        stack.pop()
+                    dur = end - start
+                    totals[name] += dur / 1e6
                     counts[name] += 1
-    return [(n, totals[n], counts[n]) for n in totals]
+                    if stack:  # immediate parent loses this child's span
+                        totals[stack[-1][1]] -= dur / 1e6
+                    stack.append((end, name))
+    return [(n, totals[n], counts[n]) for n in totals], async_us
 
 
 def main():
@@ -141,7 +172,7 @@ def main():
         log_dir, reps, batch = capture_trace(args)
         print(f"trace: {log_dir}")
 
-    ops = parse_xplane(log_dir)
+    ops, async_us = parse_xplane(log_dir)
     if not ops:
         print("NO DEVICE OPS FOUND -- relay rig may not export a device plane; fall back to ablation timing")
         return
@@ -151,11 +182,43 @@ def main():
     for name, us, _ in ops:
         by_cat[classify(name)] += us
 
-    print(f"\n== category totals (trace window: {reps} reps of batch-{batch} embed) ==")
-    print(f"{'category':<28} {'ms':>10} {'ms/rep':>10} {'%':>6}")
+    print(f"\n== category self-time totals (trace window: {reps} reps of batch-{batch} embed) ==")
+    print(f"{'category':<32} {'ms':>10} {'ms/rep':>10} {'%':>6}")
     for cat, us in by_cat.most_common():
-        print(f"{cat:<28} {us / 1e3:>10.2f} {us / 1e3 / reps:>10.2f} {100 * us / total_us:>5.1f}%")
-    print(f"{'TOTAL device':<28} {total_us / 1e3:>10.2f} {total_us / 1e3 / reps:>10.2f}")
+        print(f"{cat:<32} {us / 1e3:>10.2f} {us / 1e3 / reps:>10.2f} {100 * us / total_us:>5.1f}%")
+    print(f"{'TOTAL device (XLA Ops line)':<32} {total_us / 1e3:>10.2f} {total_us / 1e3 / reps:>10.2f}")
+    print(f"{'async DMAs (overlap compute)':<32} {async_us / 1e3:>10.2f} {async_us / 1e3 / reps:>10.2f}")
+
+    # attribute each op to its model op via the HLO metadata, if available
+    name2meta = {}
+    hlo_path = os.path.join(log_dir, "compiled_hlo.txt")
+    if os.path.exists(hlo_path):
+        rx = re.compile(r"%(\S+) = .*?metadata=\{op_name=\"([^\"]+)\"")
+        for line in open(hlo_path):
+            m = rx.search(line)
+            if m:
+                name2meta[m.group(1)] = m.group(2)
+
+    def model_op(event_name: str) -> str:
+        base = event_name.lstrip("%").split(" ")[0]
+        meta = name2meta.get(base)
+        if meta is None:
+            return "unmapped:" + (re.match(r"([a-zA-Z_\-]+)", base) or re.match(r"(.{1,16})", base)).group(1)
+        tower = "vis" if "encode_image" in meta else ("txt" if "encode_text" in meta else "?")
+        tail = re.sub(r"resblocks_\d+", "resblock", "/".join(meta.split("/")[-2:]))
+        return f"{tower}:{tail}"
+
+    if name2meta:
+        agg = collections.Counter()
+        cnt = collections.Counter()
+        for name, us, n in ops:
+            k = model_op(name)
+            agg[k] += us
+            cnt[k] += n
+        print("\n== by model op (HLO metadata join) ==")
+        print(f"{'ms/rep':>9} {'n/rep':>6}  model op")
+        for k, us in agg.most_common(args.top):
+            print(f"{us / 1e3 / reps:>9.2f} {cnt[k] / reps:>6.1f}  {k}")
 
     print(f"\n== top {args.top} ops by self time ==")
     print(f"{'ms/rep':>9} {'n':>5}  op")

@@ -32,6 +32,22 @@ def test_int8_matmul_close_to_float():
     assert rel < 0.03, rel
 
 
+def test_int8_matmul_wonly_backend(monkeypatch):
+    """Weight-only backend: int8 weights into a bf16 matmul, dequant in the
+    output epilogue -- strictly MORE accurate than dynamic-activation int8
+    (activations stay bf16)."""
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", "wonly")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+    b = rng.normal(size=(32,)).astype(np.float32)
+    q, scale = quantize_weight(w)
+    y_q = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(scale), jnp.asarray(b)))
+    y_f = x @ w + b
+    rel = np.abs(y_q - y_f).max() / np.abs(y_f).max()
+    assert rel < 0.03, rel
+
+
 def test_fused_pallas_int8_matmul_interpret():
     """quant_pallas kernel (interpret mode) == the XLA int8 formulation."""
     from uniir_tpu.ops.quant_pallas import fused_int8_matmul, fused_int8_matmul_supported

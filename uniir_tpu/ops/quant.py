@@ -74,13 +74,29 @@ def int8_matmul(x: jnp.ndarray, kernel_q: jnp.ndarray, w_scale: jnp.ndarray, bia
     # bias/gelu/residual elementwise while a custom call cannot, and the
     # CLIP-L vision tower measures 272 ms (xla) vs 380 ms (pallas).  See
     # docs/PERFORMANCE.md for the full ablation.
-    backend = os.environ.get("UNIIR_INT8_BACKEND", "xla")  # xla | pallas
+    backend = os.environ.get("UNIIR_INT8_BACKEND", "xla")  # xla | pallas | wonly
     if backend == "pallas" and jax.default_backend() == "tpu":
         from uniir_tpu.ops.quant_pallas import fused_int8_matmul, fused_int8_matmul_supported
 
         if fused_int8_matmul_supported(x.shape, K, N):
             bias_f = None if bias is None else bias.astype(jnp.float32)
             return fused_int8_matmul(x, kernel_q, w_scale, bias_f)
+    if backend == "wonly":
+        # WEIGHT-only int8 (VERDICT r2 #6): int8 weights feed a bf16 matmul.
+        # Skips the dynamic activation-quant pass entirely (its VPU/HBM cost
+        # is what caps the dynamic path at +5-6%) at the price of the bf16
+        # MXU rate.  Per-output-channel scales commute with the contraction,
+        # so dequant rides the output epilogue: x @ (Q*s) == (x @ Q) * s.
+        acc = jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            kernel_q.astype(jnp.bfloat16),  # int8 in HBM; converted on use
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc * w_scale
+        if bias is not None:
+            y = y + bias
+        return y
     xq, a_scale = quantize_activation(x)
     acc = jax.lax.dot_general(
         xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
