@@ -74,9 +74,21 @@ def bench_embed(jax, jnp, on_tpu, quant=False):
     init_model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16)
     params = init_model.init(jax.random.PRNGKey(0), txt, img, mask, mask)["params"]
     if quant:
+        import os
+
         from uniir_tpu.ops.quant import quantize_tree
 
-        params = quantize_tree(params)
+        act_scales = None
+        if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static":
+            # static-int8 serving needs calibrated activation scales; probe on
+            # the same (random) input distribution the bench runs on, with
+            # headroom for batch-256 amax growth over the batch-2 probe
+            from uniir_tpu.ops.calibrate import calibrate_act_scales
+
+            act_scales = calibrate_act_scales(
+                init_model, params, [(txt, img, mask, mask)], act="quick_gelu", margin=1.25
+            )
+        params = quantize_tree(params, act_scales=act_scales)
     params = jax.device_put(params)
 
     txt_b = rng.integers(1, cfg.vocab_size - 1, size=(batch, cfg.context_length)).astype(np.int32)

@@ -73,12 +73,15 @@ def capture_trace(args):
     float(jnp.sum(out[0, :2].astype(jnp.float32)))
 
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="uniir_embed_trace_")
-    # HLO text alongside the trace: result-name -> metadata op_name lets the
-    # report attribute each fusion to its model op (fc2, qkv_proj, ...)
-    hlo_path = os.path.join(log_dir, "compiled_hlo.txt")
     os.makedirs(log_dir, exist_ok=True)
-    with open(hlo_path, "w") as fh:
-        fh.write(f.lower(params, txt_b, img_b, mask_b).compile().as_text())
+    if args.hlo:
+        # HLO text alongside the trace: result-name -> metadata op_name lets
+        # the report attribute each fusion to its model op (fc2, qkv_proj,
+        # ...).  Costs a SECOND AOT compile (slow through a compile relay) --
+        # opt-in.
+        hlo_path = os.path.join(log_dir, "compiled_hlo.txt")
+        with open(hlo_path, "w") as fh:
+            fh.write(f.lower(params, txt_b, img_b, mask_b).compile().as_text())
     jax.profiler.start_trace(log_dir)
     out = f(params, txt_b, img_b, mask_b)
     float(jnp.sum(out[0, :2].astype(jnp.float32)))
@@ -163,6 +166,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--log_dir", default=None)
+    ap.add_argument("--hlo", action="store_true", help="also dump compiled HLO for the model-op join (slow: second AOT compile)")
     ap.add_argument("--parse_only", default=None, help="parse an existing trace dir instead of capturing")
     args = ap.parse_args()
 

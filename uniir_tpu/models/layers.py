@@ -102,8 +102,14 @@ class MultiHeadAttention(nn.Module):
 
             qkv_dense = QuantDense(3 * W, dtype=self.dtype, name="qkv_proj")
             if kv is None:
-                qkv = qkv_dense(x)
-                q, k, v = qkv[..., :W], qkv[..., W : 2 * W], qkv[..., 2 * W :]
+                # three column-sliced matmuls, NOT one [B,L,3W] output that
+                # gets sliced: activation slices cost three full [B,L,W]
+                # copies (~30 ms/rep measured in the round-3 profile), while
+                # the three identical quantize_activation(x) subgraphs are
+                # CSE'd by XLA into a single quant pass
+                q = qkv_dense(x, columns=(0, W))
+                k = qkv_dense(x, columns=(W, 2 * W))
+                v = qkv_dense(x, columns=(2 * W, 3 * W))
             else:
                 # cross-attention: slice the quantized kernel columns so each
                 # operand pays only the thirds it uses (q for x, k/v for kv)
@@ -159,10 +165,32 @@ class MLP(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, res=None):
+        """With `res` the residual add rides inside the MLP: returns
+        `res + fc2(act(fc1(x)))`.  That ownership is what lets the
+        static-int8 serving path (`UNIIR_INT8_BACKEND=static`) run the whole
+        half-block as ONE Pallas kernel on the int8 MXU with the [M, 4W]
+        hidden never leaving VMEM (ops/mlp_pallas.py); it needs calibrated
+        `act_scales` in the param tree (ops/calibrate.py + quantize_tree)."""
+        if self.quant and res is not None:
+            import os
+
+            if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static":
+                from uniir_tpu.ops.mlp_pallas import fused_int8_mlp, fused_int8_mlp_supported
+                from uniir_tpu.ops.quant import QuantParams
+
+                if fused_int8_mlp_supported(self.width, self.hidden_width, self.act):
+                    w1q, s1, b1 = QuantParams(x.shape[-1], self.hidden_width, name="fc1")()
+                    w2q, s2, b2 = QuantParams(self.hidden_width, self.width, name="fc2")()
+                    a = self.param("act_scales", nn.initializers.ones, (2,), jnp.float32)
+                    return fused_int8_mlp(
+                        x, res, w1q, s1, b1, w2q, s2, b2, a[0], a[1],
+                        act=self.act, interpret=jax.default_backend() != "tpu",
+                    ).astype(self.dtype)
         x = make_dense(self.hidden_width, dtype=self.dtype, quant=self.quant, name="fc1")(x)
         x = ACTIVATIONS[self.act](x)
-        return make_dense(self.width, dtype=self.dtype, quant=self.quant, name="fc2")(x)
+        x = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="fc2")(x)
+        return x if res is None else res + x
 
 
 class TransformerBlock(nn.Module):
@@ -195,8 +223,7 @@ class TransformerBlock(nn.Module):
         if pool_idx is None:
             h = ln_1(x)
             x = x + attn(h, mask=mask)
-            h = ln_2(x)
-            return x + mlp(h)
+            return mlp(ln_2(x), res=x)
 
         # Pooled-query block: downstream only reads the token at pool_idx
         # ([B] int32), so run attention with a single query row and the MLP on
@@ -217,7 +244,7 @@ class TransformerBlock(nn.Module):
             # the pooled query attends to positions <= its own (its causal row)
             qmask = (jnp.arange(L)[None, :] <= pool_idx[:, None])[:, None, None, :]
         xq = xq + attn(hq, kv=h, mask=qmask)
-        return xq + mlp(ln_2(xq))
+        return mlp(ln_2(xq), res=xq)
 
 
 class Transformer(nn.Module):

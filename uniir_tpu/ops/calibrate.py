@@ -1,0 +1,93 @@
+"""Static-int8 activation calibration (serving path, UNIIR_INT8_BACKEND=static).
+
+The fused int8 MLP megakernel (`ops/mlp_pallas.py`) needs per-layer STATIC
+activation scales: a1 for the ln_2 output entering fc1, a2 for the activated
+fc1 output entering fc2.  This module measures them by running the bf16
+model over probe batches with flax `capture_intermediates` and recording
+activation amax per module:
+
+    scales = calibrate_act_scales(model_bf16, params, [batch, ...])
+    qparams = quantize_tree(params, act_scales=scales)
+
+TensorRT-style offline calibration, TPU-native: the probe runs are plain
+jitted bf16 forwards; no torch observers / graph rewriting (the reference
+has no int8 serving path at all -- fp16 autocast only,
+src/common/mbeir_embedder.py:49-56).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# activation applied between fc1 and fc2, by act name (must mirror
+# models/layers.ACTIVATIONS for the amax of the HIDDEN input to fc2)
+_ACTS: Dict[str, Callable] = {
+    "quick_gelu": lambda v: v * jax.nn.sigmoid(1.702 * v),
+    "gelu": lambda v: jax.nn.gelu(v, approximate=False),
+}
+
+
+def _amax(x) -> float:
+    return float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+
+
+def calibrate_act_scales(
+    model,
+    params: Any,
+    batches: Iterable[Tuple],
+    act: str = "quick_gelu",
+    act_by_path: Dict[Tuple, str] | None = None,
+    margin: float = 1.0,
+) -> Dict[Tuple, np.ndarray]:
+    """Per-MLP static activation scales from bf16 probe forwards.
+
+    model/params: the BF16 model (not the quant twin) and its float params.
+    batches: iterable of positional-arg tuples for `model.apply`.
+    act: activation name between fc1/fc2 (see `_ACTS`); `act_by_path`
+    overrides per module path prefix (e.g. BLIP's ViT uses exact gelu).
+    margin: multiplier on the observed amax (>1 leaves clip headroom).
+
+    Returns {(..., "mlp"): np.array([a1, a2], f32)} keyed by module path,
+    the `act_scales` input of `ops.quant.quantize_tree`.
+    """
+    ln2_amax: Dict[Tuple, float] = {}
+    hid_amax: Dict[Tuple, float] = {}
+
+    for batch in batches:
+        _, state = model.apply({"params": params}, *batch, capture_intermediates=True)
+        flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
+        for keypath, leaf in flat:
+            path = tuple(getattr(k, "key", str(k)) for k in keypath)
+            # capture layout: (..., module, "__call__", idx)
+            if "__call__" not in path:
+                continue
+            mod_path = path[: path.index("__call__")]
+            if not mod_path:
+                continue
+            if mod_path[-1] == "ln_2":
+                block = mod_path[:-1]
+                ln2_amax[block] = max(ln2_amax.get(block, 0.0), _amax(leaf))
+            elif len(mod_path) >= 2 and mod_path[-2:] == ("mlp", "fc1"):
+                block = mod_path[:-2]
+                a = act
+                if act_by_path:
+                    for prefix, name in act_by_path.items():
+                        if block[: len(prefix)] == tuple(prefix):
+                            a = name
+                hid = _ACTS[a](leaf.astype(jnp.float32))
+                hid_amax[block] = max(hid_amax.get(block, 0.0), _amax(hid))
+
+    out: Dict[Tuple, np.ndarray] = {}
+    for block, a1 in ln2_amax.items():
+        if block not in hid_amax:
+            continue
+        out[block + ("mlp",)] = np.array(
+            [max(a1 * margin, 1e-4) / 127.0, max(hid_amax[block] * margin, 1e-4) / 127.0],
+            np.float32,
+        )
+    assert out, "no (ln_2, mlp/fc1) pairs captured -- is this a pre-LN transformer model?"
+    return out

@@ -24,7 +24,7 @@ quantization is shared by q/k/v.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -133,12 +133,40 @@ class QuantDense(nn.Module):
         return int8_matmul(x, kernel_q, scale, bias).astype(self.dtype)
 
 
-def quantize_tree(params: Any) -> Any:
+class QuantParams(nn.Module):
+    """Declares QuantDense's params (kernel_q, scale[, bias]) WITHOUT a
+    matmul -- for kernels that consume the raw quantized tensors directly
+    (the fused static-int8 MLP reads fc1/fc2 params into one Pallas call).
+    Same param layout as QuantDense, so `quantize_tree` output loads into
+    either."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel_q = self.param("kernel_q", nn.initializers.zeros, (self.in_features, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return kernel_q, scale, bias
+
+
+def quantize_tree(params: Any, act_scales: Optional[dict] = None) -> Any:
     """Replace every 2-D Dense {kernel[, bias]} in a param pytree with
     {kernel_q, scale[, bias]} (QuantDense layout). Non-Dense leaves pass
-    through unchanged."""
+    through unchanged.
 
-    def walk(node):
+    `act_scales` (static-int8 serving, `UNIIR_INT8_BACKEND=static`): a dict
+    mapping module-path tuples to calibrated values, e.g.
+    `{("visual", "transformer", "resblocks_0", "mlp"): np.array([a1, a2])}`
+    from `ops.calibrate.calibrate_act_scales`.  Each entry is inserted as an
+    `act_scales` leaf under that path -- the param the static MLP megakernel
+    reads.  Paths not present in the tree are an error (catches stale
+    calibrations)."""
+    act_scales = dict(act_scales or {})
+
+    def walk(node, path):
         if isinstance(node, dict):
             if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
                 kernel_q, scale = quantize_weight(np.asarray(node["kernel"]))
@@ -146,7 +174,12 @@ def quantize_tree(params: Any) -> Any:
                 if "bias" in node:
                     out["bias"] = np.asarray(node["bias"])
                 return out
-            return {k: walk(v) for k, v in node.items()}
+            out = {k: walk(v, path + (k,)) for k, v in node.items()}
+            if path in act_scales:
+                out["act_scales"] = np.asarray(act_scales.pop(path), np.float32)
+            return out
         return node
 
-    return walk(jax.device_get(params))
+    tree = walk(jax.device_get(params), ())
+    assert not act_scales, f"act_scales paths not found in params: {sorted(act_scales)}"
+    return tree
