@@ -107,3 +107,25 @@ def test_quantized_clip_sf_embeddings_agree():
     e_q = np.asarray(model_q.apply({"params": qparams}, txt, img, mask, mask))
     cos = np.sum(e_f * e_q, -1) / (np.linalg.norm(e_f, axis=-1) * np.linalg.norm(e_q, axis=-1))
     assert cos.min() > 0.99, cos
+
+
+def test_quant_dense_columns_match_full():
+    """QuantDense(columns=(lo,hi)) == full projection sliced [lo:hi) -- the
+    fused-qkv self/cross attention paths rely on this (models/layers.py)."""
+    import flax.linen as nn
+
+    from uniir_tpu.ops.quant import QuantDense
+
+    rng = np.random.default_rng(3)
+    W = 32
+    x = jnp.asarray(rng.normal(size=(4, 5, W)), jnp.float32)
+    dense = QuantDense(3 * W, dtype=jnp.float32)
+    params = {
+        "kernel_q": rng.integers(-127, 128, size=(W, 3 * W)).astype(np.int8),
+        "scale": rng.uniform(0.01, 0.1, size=(3 * W,)).astype(np.float32),
+        "bias": rng.normal(size=(3 * W,)).astype(np.float32),
+    }
+    full = dense.apply({"params": params}, x)
+    for lo, hi in [(0, W), (W, 2 * W), (2 * W, 3 * W), (W, 3 * W)]:
+        part = dense.apply({"params": params}, x, columns=(lo, hi))
+        np.testing.assert_allclose(np.asarray(part), np.asarray(full[..., lo:hi]), rtol=1e-5, atol=1e-5)
