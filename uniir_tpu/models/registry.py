@@ -216,10 +216,29 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
     if getattr(config.model, "int8", False):
         if name != "CLIPScoreFusion":
             raise NotImplementedError("int8 inference currently covers CLIPScoreFusion")
+        import os
+
         from uniir_tpu.ops.quant import quantize_tree
 
+        # static-int8 (UNIIR_INT8_BACKEND=static) consumes offline-calibrated
+        # activation scales: `model.int8_calibration` points at the .npz
+        # written by tools/calibrate_int8.py.  The other backends (xla /
+        # wonly / pallas) quantize activations dynamically and need none.
+        act_scales = None
+        calib_path = getattr(config.model, "int8_calibration", None)
+        if calib_path:
+            from uniir_tpu.ops.calibrate import load_act_scales
+
+            act_scales = load_act_scales(calib_path)
+            print(f"Loaded {len(act_scales)} calibrated act scales from {calib_path}")
+        elif os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static":
+            raise ValueError(
+                "UNIIR_INT8_BACKEND=static needs calibrated activation scales: "
+                "run tools/calibrate_int8.py and set model.int8_calibration to "
+                "the .npz it writes"
+            )
         cfg = CLIP_CONFIGS[config.model.clip_vision_model_name]
         bundle.model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16, quant=True)
-        bundle.params = quantize_tree(bundle.params)
+        bundle.params = quantize_tree(bundle.params, act_scales=act_scales)
         print(f"Quantized {name} to int8 serving mode")
     return bundle

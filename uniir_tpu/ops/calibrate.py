@@ -23,6 +23,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# npz keys join the module-path tuple with "/": flax module names are
+# identifiers (no slashes), so the join is reversible.
+_KEY_SEP = "/"
+
+
+def save_act_scales(path: str, scales: Dict[Tuple, np.ndarray]) -> None:
+    """Persist calibrated activation scales to an .npz artifact.
+
+    The artifact is the serving-time counterpart of a TensorRT calibration
+    cache: produced once offline (tools/calibrate_int8.py), consumed by
+    `quantize_tree(params, act_scales=load_act_scales(path))` at model-load
+    time (models/registry.py int8 mode)."""
+    assert scales, "refusing to save an empty calibration"
+    arrays = {_KEY_SEP.join(k): np.asarray(v, np.float32) for k, v in scales.items()}
+    np.savez(path, **arrays)
+
+
+def load_act_scales(path: str) -> Dict[Tuple, np.ndarray]:
+    """Inverse of `save_act_scales`: npz -> {module-path tuple: [a1, a2]}."""
+    with np.load(path) as z:
+        out = {tuple(k.split(_KEY_SEP)): z[k].astype(np.float32) for k in z.files}
+    assert out, f"calibration artifact {path!r} is empty"
+    for k, v in out.items():
+        assert v.shape == (2,), f"calibration entry {k} has shape {v.shape}, expected (2,)"
+    return out
+
 # activation applied between fc1 and fc2, by act name (must mirror
 # models/layers.ACTIVATIONS for the amax of the HIDDEN input to fc2)
 _ACTS: Dict[str, Callable] = {
