@@ -29,9 +29,39 @@ reports vs_baseline 0).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _probe_backend(timeout=300):
+    """Guard against TPU-backend outages BEFORE importing jax in-process.
+
+    Round 3's driver bench died rc 1 when the axon TPU tunnel was down
+    ("Unable to initialize backend"), and backend init can also HANG
+    indefinitely -- so a try/except around jax.devices() is not enough.
+    Probe in a subprocess with a hard timeout; on any failure force
+    JAX_PLATFORMS=cpu so the bench still emits a parseable JSON line with a
+    `note` instead of a traceback (the OOM-fallback discipline, applied to
+    backend init).  Returns the note string, or None when the backend is
+    healthy."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return None  # explicit CPU run, nothing to probe
+    code = "import jax, jax.numpy as jnp; jnp.ones((2, 2)).block_until_ready(); print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
+        )
+        if r.returncode == 0:
+            return None
+        detail = f"backend init failed rc {r.returncode}: {r.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        detail = f"backend init hung > {timeout}s"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return f"tpu backend unavailable ({detail}); cpu smoke fallback"
 
 
 def _amortized(run1, runN, reps):
@@ -124,13 +154,18 @@ def bench_embed(jax, jnp, on_tpu, quant=False):
     return batch / per_op
 
 
-def bench_retrieval(jax, jnp, on_tpu, n_pool=None):
+def bench_retrieval(jax, jnp, on_tpu, n_pool=None, int8_pool=False):
     """Fused Pallas top-k QPS over the (synthetic) 5.6M x 768 union pool.
 
     `n_pool` overrides the pool size (the OOM fallback in main measures a
     smaller pool and rescales: the kernel streams the pool once per query
-    batch, so QPS is inversely proportional to pool rows)."""
-    from uniir_tpu.ops.topk_pallas import CHUNK, pallas_topk
+    batch, so QPS is inversely proportional to pool rows).
+
+    `int8_pool=True` benches the int8-pool sweep + certainty guard (the
+    serving config retrieval/search.py engages under UNIIR_TOPK_POOL=int8:
+    half the pool bytes, 2x MXU rate, exact rescore of the survivors) and
+    returns (qps, guard_pass_rate) instead of a bare qps."""
+    from uniir_tpu.ops.topk_pallas import CHUNK, pallas_topk, quantize_pool
 
     if on_tpu:
         dim, n_q, k = 768, 256, 10
@@ -142,17 +177,22 @@ def bench_retrieval(jax, jnp, on_tpu, n_pool=None):
     key = jax.random.PRNGKey(0)
     pool = jax.random.normal(key, (n_pool + pad, dim), jnp.bfloat16)
     queries = jax.random.normal(jax.random.PRNGKey(1), (n_q, dim), jnp.bfloat16)
+    pq = quantize_pool(pool) if int8_pool else None
 
     reps = 6
 
     def make(r):
         @jax.jit
-        def f(q, pool):
+        def f(q, pool, pq):
             def body(carry, _):
-                s, idx = pallas_topk(carry, pool, k, valid_n=n_pool, interpret=not on_tpu)
-                return carry + s[:1, :1].astype(carry.dtype) * 1e-9, (s, idx)
+                out = pallas_topk(
+                    carry, pool, k, valid_n=n_pool, interpret=not on_tpu,
+                    pool_quant=pq, with_guard=int8_pool,
+                )
+                s = out[0]
+                return carry + s[:1, :1].astype(carry.dtype) * 1e-9, s
 
-            _, (s, idx) = jax.lax.scan(body, q, None, length=r)
+            _, s = jax.lax.scan(body, q, None, length=r)
             return s
 
         return f
@@ -163,13 +203,19 @@ def bench_retrieval(jax, jnp, on_tpu, n_pool=None):
         times = []
         for _ in range(4):
             t0 = time.perf_counter()
-            out = f(queries, pool)
+            out = f(queries, pool, pq)
             float(jnp.sum(out[0, :2, :2].astype(jnp.float32)))
             times.append(time.perf_counter() - t0)
         return min(times)
 
     per_op = _amortized(lambda: run(f1), lambda: run(fn), reps)
-    return n_q / per_op
+    qps = n_q / per_op
+    if not int8_pool:
+        return qps
+    _, _, ok = pallas_topk(
+        queries, pool, k, valid_n=n_pool, interpret=not on_tpu, pool_quant=pq, with_guard=True
+    )
+    return qps, float(jnp.mean(ok.astype(jnp.float32)))
 
 
 def bench_train_step(jax, jnp, on_tpu, bs=None):
@@ -238,13 +284,20 @@ def bench_train_step(jax, jnp, on_tpu, bs=None):
 
 
 def main() -> None:
+    note = _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
 
-    pairs_per_sec = bench_embed(jax, jnp, on_tpu)
+    headline_error = None
+    try:
+        pairs_per_sec = bench_embed(jax, jnp, on_tpu)
+    except Exception as e:  # emit a parseable artifact even on headline failure
+        pairs_per_sec = 0.0
+        headline_error = repr(e)[:300]
     _free_device(jax)
     # All baselines are builder-constructed ESTIMATES (the reference repo
     # publishes no throughput numbers): A100 fp16 dense peak x a typical
@@ -307,6 +360,32 @@ def main() -> None:
         else:
             extras.append({"metric": "retrieval_qps_5.6m_pool", "error": repr(e)[:300]})
     _free_device(jax)
+    # int8-pool sweep (UNIIR_TOPK_POOL=int8 serving config): both pools must
+    # be resident (int8 sweep + exact bf16 rescore), so the OOM fallback
+    # measures fewer rows and rescales like the bf16 row above
+    for rows, note in ((None, None), (2_800_000, "measured at 2.8M rows after device OOM; scaled to the 5.6M-pool equivalent")):
+        try:
+            qps8, guard_rate = bench_retrieval(jax, jnp, on_tpu, n_pool=rows, int8_pool=True)
+            if rows:
+                qps8 *= rows / 5_600_000
+            extras.append(
+                {
+                    "metric": "retrieval_qps_5.6m_pool_int8" if on_tpu else "retrieval_qps_int8_cpu_smoke",
+                    "value": round(qps8, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": round(qps8 / A100x8_FAISS_QPS, 4) if on_tpu else 0.0,
+                    "baseline_basis": BASIS,
+                    "guard_pass_rate": round(guard_rate, 4),
+                    **({"note": note} if note else {}),
+                }
+            )
+            break
+        except Exception as e:
+            _free_device(jax)
+            if not (on_tpu and "RESOURCE_EXHAUSTED" in repr(e) and rows is None):
+                extras.append({"metric": "retrieval_qps_5.6m_pool_int8", "error": repr(e)[:300]})
+                break
+    _free_device(jax)
     try:
         exs = bench_train_step(jax, jnp, on_tpu)
         extras.append(
@@ -338,18 +417,19 @@ def main() -> None:
         else:
             extras.append({"metric": "clip_l_train_examples_per_sec", "error": repr(e)[:300]})
 
-    print(
-        json.dumps(
-            {
-                "metric": "clip_l_embeds_per_sec_per_chip" if on_tpu else "clip_tiny_embeds_per_sec_cpu_smoke",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
-                "baseline_basis": BASIS,
-                "extra_metrics": extras,
-            }
-        )
-    )
+    out = {
+        "metric": "clip_l_embeds_per_sec_per_chip" if on_tpu else "clip_tiny_embeds_per_sec_cpu_smoke",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
+        "baseline_basis": BASIS,
+        "extra_metrics": extras,
+    }
+    if note:
+        out["note"] = note
+    if headline_error:
+        out["error"] = headline_error
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

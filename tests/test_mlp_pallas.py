@@ -79,10 +79,14 @@ def test_static_backend_end_to_end(monkeypatch):
     y_f = np.asarray(model.apply({"params": params}, x), np.float32)
 
     scales = calibrate_act_scales(model, params, [(x,)], act="quick_gelu")
-    assert set(scales) == {(f"resblocks_{i}", "mlp") for i in range(layers)}
+    # round 4: calibration also emits per-attention [a_qkv, a_out] scales
+    assert set(scales) == {
+        (f"resblocks_{i}", sub) for i in range(layers) for sub in ("mlp", "attn")
+    }
     qparams = quantize_tree(params, act_scales=scales)
     for i in range(layers):
         assert qparams[f"resblocks_{i}"]["mlp"]["act_scales"].shape == (2,)
+        assert qparams[f"resblocks_{i}"]["attn"]["act_scales"].shape == (2,)
 
     monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")
     qmodel = Transformer(W, layers, heads, act="quick_gelu", dtype=jnp.bfloat16, quant=True)

@@ -1,0 +1,122 @@
+"""int8 serving across ALL FOUR model variants (round-4, VERDICT r3 item 3).
+
+The reference serves all four variants through one fp16 embedder
+(src/common/mbeir_embedder.py:464-495); this repo's int8 serving extension
+must therefore cover them all: every variant's quant twin (quant=True) must
+load a quantize_tree'd param tree and track the float model's embeddings,
+under every activation backend (xla dynamic / weight-only / static).
+
+Static backend notes: without calibrated `act_scales` leaves the static
+backend falls back to dynamic per-row quantization (models/layers.py), so it
+is exercised both bare (fallback) and, for the pre-LN towers (CLIP, BLIP
+ViT), with real calibrated scales from ops/calibrate.py.  MED (post-LN BERT)
+has no pre-LN probe point and always uses dynamic activation scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uniir_tpu.models.blip_ff import BLIPFeatureFusion
+from uniir_tpu.models.blip_sf import BLIPScoreFusion
+from uniir_tpu.models.blip_vit import BLIP_VIT_CONFIGS
+from uniir_tpu.models.clip import CLIP_CONFIGS
+from uniir_tpu.models.clip_ff import CLIPFeatureFusion
+from uniir_tpu.models.clip_sf import CLIPScoreFusion
+from uniir_tpu.models.med import MED_CONFIGS
+from uniir_tpu.ops.quant import quantize_tree
+
+VIT = BLIP_VIT_CONFIGS["test-tiny"]
+MED = MED_CONFIGS["test-tiny"]
+
+
+def _clip_batch(cfg, rng, n):
+    txt = rng.integers(1, cfg.vocab_size - 1, size=(n, cfg.context_length)).astype(np.int32)
+    img = rng.normal(size=(n, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    mask = np.ones((n,), np.int32)
+    return txt, img, mask, mask
+
+
+def _blip_batch(rng, n, seq=12):
+    ids = rng.integers(4, MED.vocab_size - 1, size=(n, seq)).astype(np.int32)
+    attn = np.ones((n, seq), np.int32)
+    attn[:, seq - 2 :] = 0
+    img = rng.normal(size=(n, VIT.image_size, VIT.image_size, 3)).astype(np.float32)
+    mask = np.ones((n,), np.int32)
+    return {"input_ids": ids, "attention_mask": attn}, img, mask, mask
+
+
+def _build(name):
+    if name == "CLIPScoreFusion":
+        cfg = CLIP_CONFIGS["test-tiny"]
+        return CLIPScoreFusion(cfg), CLIPScoreFusion(cfg, quant=True), _clip_batch(cfg, np.random.default_rng(0), 4)
+    if name == "CLIPFeatureFusion":
+        cfg = CLIP_CONFIGS["test-tiny-ff"]
+        return CLIPFeatureFusion(cfg), CLIPFeatureFusion(cfg, quant=True), _clip_batch(cfg, np.random.default_rng(1), 4)
+    if name == "BLIPScoreFusion":
+        kw = dict(vit_cfg=VIT, med_cfg=MED, embed_dim=16)
+        return BLIPScoreFusion(**kw), BLIPScoreFusion(quant=True, **kw), _blip_batch(np.random.default_rng(2), 4)
+    if name == "BLIPFeatureFusion":
+        kw = dict(vit_cfg=VIT, med_cfg=MED, embed_dim=MED.hidden_size)
+        return BLIPFeatureFusion(**kw), BLIPFeatureFusion(quant=True, **kw), _blip_batch(np.random.default_rng(3), 4)
+    raise KeyError(name)
+
+
+def _cosine(a, b):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+
+
+VARIANTS = ["CLIPScoreFusion", "CLIPFeatureFusion", "BLIPScoreFusion", "BLIPFeatureFusion"]
+
+
+@pytest.mark.parametrize("backend", ["xla", "wonly", "static"])
+@pytest.mark.parametrize("name", VARIANTS)
+def test_variant_int8_embeddings_agree(name, backend, monkeypatch):
+    """quant twin + quantize_tree'd params track the float embeddings for
+    every variant under every backend ("static" here = uncalibrated fallback;
+    the calibrated static path is covered below and in
+    test_calibration_artifact.py)."""
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", backend)
+    model_f, model_q, batch = _build(name)
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+
+    # structure: the quantized tree slots into the quant twin exactly
+    qparams = quantize_tree(params)
+    init_q = model_q.init(jax.random.PRNGKey(0), *batch)["params"]
+    paths = lambda t: {  # noqa: E731
+        "/".join(str(getattr(k, "key", k)) for k in p): np.shape(l)
+        for p, l in jax.tree_util.tree_flatten_with_path(t)[0]
+    }
+    assert paths(init_q) == paths(qparams)
+
+    e_f = model_f.apply({"params": params}, *batch)
+    e_q = model_q.apply({"params": qparams}, *batch)
+    assert np.all(np.isfinite(np.asarray(e_q, np.float32)))
+    cos = _cosine(e_f, e_q)
+    assert cos.min() > 0.98, (name, backend, cos)
+
+
+def test_blip_sf_calibrated_static(monkeypatch):
+    """Pre-LN BLIP ViT calibrates (norm1/norm2 + attn probe points) and the
+    static backend consumes the scales; MED stays dynamic-fallback."""
+    from uniir_tpu.ops.calibrate import calibrate_act_scales
+
+    model_f, model_q, batch = _build("BLIPScoreFusion")
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+    e_f = model_f.apply({"params": params}, *batch)
+
+    scales = calibrate_act_scales(model_f, params, [batch], act="gelu")
+    # every ViT block contributes an mlp and an attn entry; MED none
+    vit_blocks = {p[:-1] for p in scales}
+    assert all(p[0] == "visual_encoder" for p in vit_blocks), sorted(vit_blocks)
+    assert {p[-1] for p in scales} == {"mlp", "attn"}
+    assert len(scales) == 2 * VIT.layers
+
+    qparams = quantize_tree(params, act_scales=scales)
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")
+    e_q = model_q.apply({"params": qparams}, *batch)
+    assert np.all(np.isfinite(np.asarray(e_q, np.float32)))
+    cos = _cosine(e_f, e_q)
+    assert cos.min() > 0.98, cos

@@ -139,3 +139,35 @@ def test_bucketed_topk_exact():
     scores2[:, 256:266] = np.arange(10, 0, -1)
     v, i = bucketed_topk(jnp.asarray(scores2), 10)
     assert set(np.asarray(i[0]).tolist()) == set(range(256, 266))
+
+
+def test_search_int8_pool_matches_exact(monkeypatch):
+    """search_dense_index(pool_dtype="int8") == the exact bf16 search (round-4
+    wiring of the int8-pool Pallas sweep + certainty guard + exact-rerun
+    fallback; VERDICT r3 item 4).  Runs on CPU via interpret mode."""
+    from uniir_tpu.ops.topk_pallas import CHUNK
+
+    monkeypatch.setenv("UNIIR_TOPK_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(11)
+    n, dim = 3 * CHUNK - 17, 32
+    embeds = normalize_l2(rng.normal(size=(n, dim)).astype(np.float32))
+    ids = 70_000_000 + np.arange(n, dtype=np.int64)
+    index = DenseIndex.build(embeds, ids)
+    q = normalize_l2(rng.normal(size=(16, dim)).astype(np.float32))
+
+    s_ref, h_ref = search_dense_index(q, index, num_cand_to_retrieve=5)
+    stats = {}
+    s_i8, h_i8 = search_dense_index(q, index, num_cand_to_retrieve=5, pool_dtype="int8", stats=stats)
+
+    assert stats["pool_dtype"] == "int8" and stats["guard_pass_rate"] is not None
+    # exactness contract: guard + whole-batch rerun make the result identical
+    # to the bf16 path whenever the guard logic is sound
+    np.testing.assert_array_equal(h_i8, h_ref)
+    np.testing.assert_allclose(s_i8, s_ref, atol=1e-2)
+
+    # env opt-in path reaches the same wiring
+    monkeypatch.setenv("UNIIR_TOPK_POOL", "int8")
+    stats2 = {}
+    _, h_env = search_dense_index(q, index, num_cand_to_retrieve=5, stats=stats2)
+    assert stats2["pool_dtype"] == "int8"
+    np.testing.assert_array_equal(h_env, h_ref)

@@ -28,12 +28,14 @@ class BLIPFeatureFusion(nn.Module):
     embed_dim: int = 768
     dtype: Any = jnp.float32
     remat: bool = False
+    quant: bool = False  # int8 Dense projections (inference/serving path)
 
     def setup(self):
         self.visual_encoder = BLIPVisionTransformer(
-            self.vit_cfg, dtype=self.dtype, remat_from_layer=self.vit_cfg.layers if self.remat else 0
+            self.vit_cfg, dtype=self.dtype, remat_from_layer=self.vit_cfg.layers if self.remat else 0,
+            quant=self.quant,
         )
-        self.text_encoder = MedBertModel(self.med_cfg, add_pooling_layer=True, dtype=self.dtype, remat=self.remat)
+        self.text_encoder = MedBertModel(self.med_cfg, add_pooling_layer=True, dtype=self.dtype, remat=self.remat, quant=self.quant)
         self.temp = self.param("temp", nn.initializers.constant(0.07), ())
 
     def encode_multimodal_input(self, txt_dict, images, txt_mask=None, img_mask=None, deterministic: bool = True):

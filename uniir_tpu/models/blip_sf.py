@@ -30,14 +30,18 @@ class BLIPScoreFusion(nn.Module):
     embed_dim: int = 768
     dtype: Any = jnp.float32
     remat: bool = False
+    quant: bool = False  # int8 Dense projections (inference/serving path)
 
     def setup(self):
+        from uniir_tpu.models.layers import make_dense
+
         self.visual_encoder = BLIPVisionTransformer(
-            self.vit_cfg, dtype=self.dtype, remat_from_layer=self.vit_cfg.layers if self.remat else 0
+            self.vit_cfg, dtype=self.dtype, remat_from_layer=self.vit_cfg.layers if self.remat else 0,
+            quant=self.quant,
         )
-        self.text_encoder = MedBertModel(self.med_cfg, add_pooling_layer=False, dtype=self.dtype)
-        self.vision_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
-        self.text_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
+        self.text_encoder = MedBertModel(self.med_cfg, add_pooling_layer=False, dtype=self.dtype, quant=self.quant)
+        self.vision_proj = make_dense(self.embed_dim, dtype=self.dtype, quant=self.quant, name=None)
+        self.text_proj = make_dense(self.embed_dim, dtype=self.dtype, quant=self.quant, name=None)
         self.temp = self.param("temp", nn.initializers.constant(0.07), ())
 
     def encode_texts(self, txt_dict, deterministic: bool = True) -> jnp.ndarray:

@@ -68,11 +68,14 @@ class BLIPBlock(nn.Module):
     # compute only the CLS (index-0) output row: exact for the LAST block of a
     # CLS-pooled consumer, ~1/L of the block's FLOPs (attention keeps full k/v)
     pool_first: bool = False
+    quant: bool = False  # int8 projections (inference path; requires deterministic)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        attn = MultiHeadAttention(self.width, self.heads, dtype=self.dtype, fused=self.fused_attention, name="attn")
-        mlp = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, name="mlp")
+        attn = MultiHeadAttention(
+            self.width, self.heads, dtype=self.dtype, fused=self.fused_attention, quant=self.quant, name="attn"
+        )
+        mlp = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, quant=self.quant, name="mlp")
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         if self.pool_first:
             h = attn(h[:, :1], kv=h)  # single CLS query over the full sequence
@@ -81,6 +84,12 @@ class BLIPBlock(nn.Module):
             h = attn(h)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        if self.quant:
+            # inference-only path: DropPath is identity (deterministic), so
+            # handing the residual to the MLP is exact and lets the static
+            # fused int8 kernel own the whole half-block (layers.MLP)
+            assert deterministic, "int8 serving is inference-only (deterministic)"
+            return mlp(h, res=x)
         h = mlp(h)
         return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
 
@@ -89,6 +98,7 @@ class BLIPVisionTransformer(nn.Module):
     cfg: BLIPViTConfig
     dtype: Dtype = jnp.float32
     remat_from_layer: int = 0  # remat blocks [layers - k, layers) like ckpt_layer
+    quant: bool = False  # int8 projections (inference/serving path)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, deterministic: bool = True, pool_cls: bool = False) -> jnp.ndarray:
@@ -115,6 +125,6 @@ class BLIPVisionTransformer(nn.Module):
             trim = pool_cls and i == cfg.layers - 1
             x = block_cls(
                 cfg.width, cfg.heads, cfg.mlp_ratio, drop_path=dp, dtype=self.dtype,
-                pool_first=trim, name=f"blocks_{i}",
+                pool_first=trim, quant=self.quant, name=f"blocks_{i}",
             )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)

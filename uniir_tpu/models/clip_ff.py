@@ -32,16 +32,17 @@ class CLIPFeatureFusion(nn.Module):
     cfg: CLIPConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    quant: bool = False  # int8 Dense projections (inference/serving path)
 
     def setup(self):
-        self.visual = CLIPVisionTower(self.cfg, pool="none", dtype=self.dtype, remat=self.remat)
-        self.text = CLIPTextTower(self.cfg, pool="none", dtype=self.dtype, remat=self.remat)
+        self.visual = CLIPVisionTower(self.cfg, pool="none", dtype=self.dtype, remat=self.remat, quant=self.quant)
+        self.text = CLIPTextTower(self.cfg, pool="none", dtype=self.dtype, remat=self.remat, quant=self.quant)
         t5_cfg = t5_config_for_clip(self.cfg)
         if self.cfg.embed_dim != self.cfg.text_width:
             # only configs whose text width == embed dim are supported, same
             # constraint as the reference (ViT-B/32: 512, ViT-L/14: 768)
             raise ValueError("CLIPFeatureFusion requires text_width == embed_dim")
-        self.t5_layers = T5FusionStack(t5_cfg, dtype=self.dtype)
+        self.t5_layers = T5FusionStack(t5_cfg, dtype=self.dtype, quant=self.quant)
         self.logit_scale = self.param("logit_scale", clip_logit_scale_init, ())
 
     def encode_multimodal_input(self, txt, img, txt_mask=None, img_mask=None, deterministic: bool = True):

@@ -95,26 +95,42 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.width // self.num_heads
         W = self.width
 
+        # Static-int8 serving (UNIIR_INT8_BACKEND=static): a calibrated
+        # `act_scales` leaf [a_qkv, a_out] under this module's path (written
+        # by quantize_tree from ops/calibrate.py) switches both projections to
+        # static per-tensor activation scales -- no amax reduce, quant fuses
+        # into the preceding LN / attention epilogue.  Absent the leaf (e.g.
+        # an uncalibrated submodel like MED) the dynamic path is used.
+        a_attn = None
+        if self.quant:
+            import os
+
+            if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static" and self.has_variable(
+                "params", "act_scales"
+            ):
+                a_attn = self.get_variable("params", "act_scales")  # [a_qkv, a_out] f32
+
         if self.quant:
             # int8: ONE fused projection so q/k/v share a single activation
             # quantization pass (the dominant int8 overhead).
             from uniir_tpu.ops.quant import QuantDense
 
             qkv_dense = QuantDense(3 * W, dtype=self.dtype, name="qkv_proj")
+            a_in = None if a_attn is None else a_attn[0]
             if kv is None:
                 # three column-sliced matmuls, NOT one [B,L,3W] output that
                 # gets sliced: activation slices cost three full [B,L,W]
                 # copies (~30 ms/rep measured in the round-3 profile), while
-                # the three identical quantize_activation(x) subgraphs are
+                # the three identical quantize-activation subgraphs are
                 # CSE'd by XLA into a single quant pass
-                q = qkv_dense(x, columns=(0, W))
-                k = qkv_dense(x, columns=(W, 2 * W))
-                v = qkv_dense(x, columns=(2 * W, 3 * W))
+                q = qkv_dense(x, columns=(0, W), a_static=a_in)
+                k = qkv_dense(x, columns=(W, 2 * W), a_static=a_in)
+                v = qkv_dense(x, columns=(2 * W, 3 * W), a_static=a_in)
             else:
                 # cross-attention: slice the quantized kernel columns so each
                 # operand pays only the thirds it uses (q for x, k/v for kv)
-                q = qkv_dense(x, columns=(0, W))
-                kv_out = qkv_dense(kv, columns=(W, 3 * W))
+                q = qkv_dense(x, columns=(0, W), a_static=a_in)
+                kv_out = qkv_dense(kv, columns=(W, 3 * W), a_static=a_in)
                 k, v = kv_out[..., :W], kv_out[..., W:]
         else:
             # bf16: same fused [W, 3W] param, but three dots over kernel
@@ -125,6 +141,21 @@ class MultiHeadAttention(nn.Module):
             q, k, v = qkv(x) if kv is None else qkv(x, kv)
         kv_src = x if kv is None else kv
 
+        def out_proj(out):
+            # calibration probe point: amax of the attention output feeding
+            # out_proj (the a_out static scale); no-op unless the
+            # "intermediates" collection is mutable (capture_intermediates)
+            self.sow("intermediates", "attn_pre_out", out)
+            if self.quant:
+                from uniir_tpu.ops.quant import QuantDense
+
+                return QuantDense(self.width, dtype=self.dtype, name="out_proj")(
+                    out, a_static=None if a_attn is None else a_attn[1]
+                )
+            return nn.Dense(
+                self.width, dtype=self.dtype, name="out_proj", kernel_init=self.out_init
+            )(out)
+
         if self.fused and mask is None and kv is None and self.dtype == jnp.bfloat16:
             from uniir_tpu.ops.attention_pallas import paired_attention, paired_attention_supported
 
@@ -133,9 +164,7 @@ class MultiHeadAttention(nn.Module):
                 out = paired_attention(
                     q, k, v, self.num_heads, head_dim**-0.5, not on_tpu, self.causal
                 )
-                return make_dense(
-                    self.width, dtype=self.dtype, quant=self.quant, name="out_proj", kernel_init=self.out_init
-                )(out)
+                return out_proj(out)
 
         B, Lq = x.shape[0], x.shape[1]
         Lk = kv_src.shape[1]
@@ -154,7 +183,7 @@ class MultiHeadAttention(nn.Module):
             logits = jnp.where(mask, logits, big_neg)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, self.width)
-        return make_dense(self.width, dtype=self.dtype, quant=self.quant, name="out_proj", kernel_init=self.out_init)(out)
+        return out_proj(out)
 
 
 class MLP(nn.Module):
@@ -171,25 +200,44 @@ class MLP(nn.Module):
         static-int8 serving path (`UNIIR_INT8_BACKEND=static`) run the whole
         half-block as ONE Pallas kernel on the int8 MXU with the [M, 4W]
         hidden never leaving VMEM (ops/mlp_pallas.py); it needs calibrated
-        `act_scales` in the param tree (ops/calibrate.py + quantize_tree)."""
-        if self.quant and res is not None:
+        `act_scales` in the param tree (ops/calibrate.py + quantize_tree).
+        Without calibrated scales (e.g. an uncalibrated submodel) the static
+        backend falls back to dynamic per-row quantization; with scales but an
+        unsupported shape/act (T5's relu FFN, unaligned widths) the two dense
+        matmuls still use the static scales individually."""
+        a = None
+        if self.quant:
             import os
 
-            if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static":
-                from uniir_tpu.ops.mlp_pallas import fused_int8_mlp, fused_int8_mlp_supported
-                from uniir_tpu.ops.quant import QuantParams
+            if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static" and self.has_variable(
+                "params", "act_scales"
+            ):
+                a = self.get_variable("params", "act_scales")  # [a1, a2] f32
+        if a is not None and res is not None:
+            from uniir_tpu.ops.mlp_pallas import fused_int8_mlp, fused_int8_mlp_supported
+            from uniir_tpu.ops.quant import QuantParams
 
-                if fused_int8_mlp_supported(self.width, self.hidden_width, self.act):
-                    w1q, s1, b1 = QuantParams(x.shape[-1], self.hidden_width, name="fc1")()
-                    w2q, s2, b2 = QuantParams(self.hidden_width, self.width, name="fc2")()
-                    a = self.param("act_scales", nn.initializers.ones, (2,), jnp.float32)
-                    return fused_int8_mlp(
-                        x, res, w1q, s1, b1, w2q, s2, b2, a[0], a[1],
-                        act=self.act, interpret=jax.default_backend() != "tpu",
-                    ).astype(self.dtype)
-        x = make_dense(self.hidden_width, dtype=self.dtype, quant=self.quant, name="fc1")(x)
+            if fused_int8_mlp_supported(self.width, self.hidden_width, self.act):
+                w1q, s1, b1 = QuantParams(x.shape[-1], self.hidden_width, name="fc1")()
+                w2q, s2, b2 = QuantParams(self.hidden_width, self.width, name="fc2")()
+                return fused_int8_mlp(
+                    x, res, w1q, s1, b1, w2q, s2, b2, a[0], a[1],
+                    act=self.act, interpret=jax.default_backend() != "tpu",
+                ).astype(self.dtype)
+        if self.quant:
+            from uniir_tpu.ops.quant import QuantDense
+
+            h = QuantDense(self.hidden_width, dtype=self.dtype, name="fc1")(
+                x, a_static=None if a is None else a[0]
+            )
+            h = ACTIVATIONS[self.act](h)
+            h = QuantDense(self.width, dtype=self.dtype, name="fc2")(
+                h, a_static=None if a is None else a[1]
+            )
+            return h if res is None else res + h
+        x = make_dense(self.hidden_width, dtype=self.dtype, quant=False, name="fc1")(x)
         x = ACTIVATIONS[self.act](x)
-        x = make_dense(self.width, dtype=self.dtype, quant=self.quant, name="fc2")(x)
+        x = make_dense(self.width, dtype=self.dtype, quant=False, name="fc2")(x)
         return x if res is None else res + x
 
 

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from uniir_tpu.models.layers import make_dense
+
 Dtype = Any
 NEG_INF = -1e9  # matches HF's additive-mask convention closely enough in fp32
 
@@ -65,6 +67,8 @@ class BertSelfAttentionBlock(nn.Module):
     cfg: MedConfig
     is_cross: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 projections -- dynamic-scale only (post-LN BERT
+    # has no pre-LN probe point for the static calibration, ops/calibrate.py)
 
     @nn.compact
     def __call__(self, hidden, attn_mask=None, kv=None, deterministic: bool = True, self_kv=None):
@@ -75,9 +79,12 @@ class BertSelfAttentionBlock(nn.Module):
         # attention pass; residual + q still come from `hidden`
         kv_src = kv if self.is_cross else (self_kv if self_kv is not None else hidden)
 
-        q = nn.Dense(H, dtype=self.dtype, name="query")(hidden)
-        k = nn.Dense(H, dtype=self.dtype, name="key")(kv_src)
-        v = nn.Dense(H, dtype=self.dtype, name="value")(kv_src)
+        # separate q/k/v denses (HF BertSelfAttention param layout); under
+        # int8 the identical quantize-activation subgraphs over `hidden` /
+        # `kv_src` are CSE'd by XLA into one quant pass each
+        q = make_dense(H, dtype=self.dtype, quant=self.quant, name="query")(hidden)
+        k = make_dense(H, dtype=self.dtype, quant=self.quant, name="key")(kv_src)
+        v = make_dense(H, dtype=self.dtype, quant=self.quant, name="value")(kv_src)
         B, Lq = hidden.shape[0], hidden.shape[1]
         Lk = kv_src.shape[1]
         q = q.reshape(B, Lq, heads, head_dim)
@@ -91,7 +98,7 @@ class BertSelfAttentionBlock(nn.Module):
         probs = nn.Dropout(cfg.attention_probs_dropout_prob)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, H)
 
-        out = nn.Dense(H, dtype=self.dtype, name="output_dense")(ctx)
+        out = make_dense(H, dtype=self.dtype, quant=self.quant, name="output_dense")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(out + hidden)
 
@@ -103,23 +110,24 @@ class BertLayer(nn.Module):
     # CLS-pooled consumer (self- and cross-attention keep full k/v; the
     # additive masks broadcast over the query axis unchanged)
     pool_first: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, hidden, attn_mask, mode: str, enc_hidden=None, enc_mask=None, deterministic: bool = True):
         cfg = self.cfg
-        attention = BertSelfAttentionBlock(cfg, dtype=self.dtype, name="attention")
+        attention = BertSelfAttentionBlock(cfg, dtype=self.dtype, quant=self.quant, name="attention")
         if self.pool_first:
             hidden = attention(hidden[:, :1], attn_mask, deterministic=deterministic, self_kv=hidden)
         else:
             hidden = attention(hidden, attn_mask, deterministic=deterministic)
         if mode == "multimodal":
             assert enc_hidden is not None, "encoder_hidden_states must be given for multimodal mode"
-            hidden = BertSelfAttentionBlock(cfg, is_cross=True, dtype=self.dtype, name="crossattention")(
+            hidden = BertSelfAttentionBlock(cfg, is_cross=True, dtype=self.dtype, quant=self.quant, name="crossattention")(
                 hidden, enc_mask, kv=enc_hidden, deterministic=deterministic
             )
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
+        h = make_dense(cfg.intermediate_size, dtype=self.dtype, quant=self.quant, name="intermediate")(hidden)
         h = nn.gelu(h, approximate=False)  # exact erf GELU (HF BERT parity)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        h = make_dense(cfg.hidden_size, dtype=self.dtype, quant=self.quant, name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(h + hidden)
 
@@ -129,6 +137,7 @@ class MedBertModel(nn.Module):
     add_pooling_layer: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: bool = False  # int8 Dense projections (dynamic scales; inference)
 
     def _extend_mask(self, mask: jnp.ndarray) -> jnp.ndarray:
         # [B, L] 1/0 -> additive [B, 1, 1, L]
@@ -173,12 +182,12 @@ class MedBertModel(nn.Module):
             layer_cls = nn.remat(BertLayer, static_argnums=(3, 6))
         for i in range(cfg.num_hidden_layers):
             trim = trim_last and i == cfg.num_hidden_layers - 1
-            x = layer_cls(cfg, dtype=self.dtype, pool_first=trim, name=f"layer_{i}")(
+            x = layer_cls(cfg, dtype=self.dtype, pool_first=trim, quant=self.quant, name=f"layer_{i}")(
                 x, attn_mask, mode, encoder_hidden_states, enc_mask, deterministic
             )
 
         pooled = None
         if self.add_pooling_layer:
-            pooled = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pooler")(x[:, 0])
+            pooled = make_dense(cfg.hidden_size, dtype=self.dtype, quant=self.quant, name="pooler")(x[:, 0])
             pooled = jnp.tanh(pooled)
         return x, pooled

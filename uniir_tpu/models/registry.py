@@ -212,10 +212,12 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
         print(f"Loaded {name} checkpoint from {ckpt_path}")
 
     # int8 serving mode: quantize the loaded weights and swap in the quant
-    # module (CLIP family; see uniir_tpu/ops/quant.py)
+    # twin -- every variant's module carries a `quant` flag, so the twin is
+    # the same module with quant=True (see uniir_tpu/ops/quant.py).  The
+    # reference serves all four variants through one embedder in fp16
+    # autocast (src/common/mbeir_embedder.py:464-495); int8 is this repo's
+    # TPU-serving extension of that surface.
     if getattr(config.model, "int8", False):
-        if name != "CLIPScoreFusion":
-            raise NotImplementedError("int8 inference currently covers CLIPScoreFusion")
         import os
 
         from uniir_tpu.ops.quant import quantize_tree
@@ -224,6 +226,9 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
         # activation scales: `model.int8_calibration` points at the .npz
         # written by tools/calibrate_int8.py.  The other backends (xla /
         # wonly / pallas) quantize activations dynamically and need none.
+        # Uncalibrated submodules (MED's post-LN BERT, T5's relu FFN
+        # attention) fall back to dynamic scales under `static` -- see
+        # ops/calibrate.py.
         act_scales = None
         calib_path = getattr(config.model, "int8_calibration", None)
         if calib_path:
@@ -237,8 +242,7 @@ def build_model_from_config(config, rng=None) -> ModelBundle:
                 "run tools/calibrate_int8.py and set model.int8_calibration to "
                 "the .npz it writes"
             )
-        cfg = CLIP_CONFIGS[config.model.clip_vision_model_name]
-        bundle.model = CLIPScoreFusion(cfg, dtype=jnp.bfloat16, quant=True)
+        bundle.model = bundle.model.clone(quant=True)
         bundle.params = quantize_tree(bundle.params, act_scales=act_scales)
         print(f"Quantized {name} to int8 serving mode")
     return bundle

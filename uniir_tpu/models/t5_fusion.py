@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from uniir_tpu.models.layers import make_dense
+
 Dtype = Any
 
 
@@ -69,15 +71,16 @@ class T5Attention(nn.Module):
     cfg: T5FusionConfig
     has_relative_bias: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 projections (dynamic scales; inference)
 
     @nn.compact
     def __call__(self, x, position_bias: Optional[jnp.ndarray] = None, deterministic: bool = True):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
         B, L, _ = x.shape
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="q")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        q = make_dense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="q")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        k = make_dense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="k")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        v = make_dense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="v")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
 
         # T5: no 1/sqrt(d) scaling
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
@@ -100,7 +103,7 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, inner)
-        out = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="o")(out)
+        out = make_dense(cfg.d_model, use_bias=False, dtype=self.dtype, quant=self.quant, name="o")(out)
         return out, position_bias
 
 
@@ -108,21 +111,22 @@ class T5Block(nn.Module):
     cfg: T5FusionConfig
     has_relative_bias: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, position_bias=None, deterministic: bool = True):
         cfg = self.cfg
         h = T5LayerNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="attn_ln")(x)
         attn_out, position_bias = T5Attention(
-            cfg, has_relative_bias=self.has_relative_bias, dtype=self.dtype, name="attn"
+            cfg, has_relative_bias=self.has_relative_bias, dtype=self.dtype, quant=self.quant, name="attn"
         )(h, position_bias, deterministic)
         x = x + nn.Dropout(cfg.dropout_rate)(attn_out, deterministic=deterministic)
 
         h = T5LayerNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="ff_ln")(x)
-        h = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi")(h)
+        h = make_dense(cfg.d_ff, use_bias=False, dtype=self.dtype, quant=self.quant, name="wi")(h)
         h = nn.relu(h)
         h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
-        h = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="wo")(h)
+        h = make_dense(cfg.d_model, use_bias=False, dtype=self.dtype, quant=self.quant, name="wo")(h)
         x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
         return x, position_bias
 
@@ -130,6 +134,7 @@ class T5Block(nn.Module):
 class T5FusionStack(nn.Module):
     cfg: T5FusionConfig
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 Dense projections (dynamic scales; inference)
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -138,7 +143,7 @@ class T5FusionStack(nn.Module):
         position_bias = None
         for i in range(cfg.num_layers):
             x, position_bias = T5Block(
-                cfg, has_relative_bias=(i == 0), dtype=self.dtype, name=f"block_{i}"
+                cfg, has_relative_bias=(i == 0), dtype=self.dtype, quant=self.quant, name=f"block_{i}"
             )(x, position_bias, deterministic)
         x = T5LayerNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="final_ln")(x)
         return nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)

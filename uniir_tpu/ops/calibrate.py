@@ -77,24 +77,43 @@ def calibrate_act_scales(
     overrides per module path prefix (e.g. BLIP's ViT uses exact gelu).
     margin: multiplier on the observed amax (>1 leaves clip headroom).
 
-    Returns {(..., "mlp"): np.array([a1, a2], f32)} keyed by module path,
-    the `act_scales` input of `ops.quant.quantize_tree`.
+    Returns {(..., "mlp"): [a1, a2], (..., "attn"): [a_qkv, a_out]} keyed by
+    module path, the `act_scales` input of `ops.quant.quantize_tree`:
+      * mlp entries: a1 scales the pre-LN output entering fc1, a2 the
+        activated hidden entering fc2 (the fused megakernel's inputs).
+      * attn entries (round-4, VERDICT r3 item 2): a_qkv scales the ln_1 /
+        norm1 output entering the fused qkv projection, a_out the attention
+        output entering out_proj (captured via the `attn_pre_out` sow in
+        models/layers.MultiHeadAttention).  These make the qkv/out int8
+        matmuls static too, killing their dynamic amax passes.
+    Pre-LN layer names: CLIP towers use ln_1/ln_2, BLIP ViT norm1/norm2.
+    Post-LN submodels (MED) are not captured and fall back to dynamic quant.
     """
+    ln1_amax: Dict[Tuple, float] = {}
     ln2_amax: Dict[Tuple, float] = {}
     hid_amax: Dict[Tuple, float] = {}
+    attn_out_amax: Dict[Tuple, float] = {}
 
     for batch in batches:
         _, state = model.apply({"params": params}, *batch, capture_intermediates=True)
         flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
         for keypath, leaf in flat:
             path = tuple(getattr(k, "key", str(k)) for k in keypath)
+            if "attn_pre_out" in path:
+                attn_path = path[: path.index("attn_pre_out")]  # (..., "attn")
+                if attn_path:
+                    attn_out_amax[attn_path] = max(attn_out_amax.get(attn_path, 0.0), _amax(leaf))
+                continue
             # capture layout: (..., module, "__call__", idx)
             if "__call__" not in path:
                 continue
             mod_path = path[: path.index("__call__")]
             if not mod_path:
                 continue
-            if mod_path[-1] == "ln_2":
+            if mod_path[-1] in ("ln_1", "norm1"):
+                block = mod_path[:-1]
+                ln1_amax[block] = max(ln1_amax.get(block, 0.0), _amax(leaf))
+            elif mod_path[-1] in ("ln_2", "norm2"):
                 block = mod_path[:-1]
                 ln2_amax[block] = max(ln2_amax.get(block, 0.0), _amax(leaf))
             elif len(mod_path) >= 2 and mod_path[-2:] == ("mlp", "fc1"):
@@ -107,13 +126,18 @@ def calibrate_act_scales(
                 hid = _ACTS[a](leaf.astype(jnp.float32))
                 hid_amax[block] = max(hid_amax.get(block, 0.0), _amax(hid))
 
+    def scale(amax: float) -> float:
+        return max(amax * margin, 1e-4) / 127.0
+
     out: Dict[Tuple, np.ndarray] = {}
     for block, a1 in ln2_amax.items():
         if block not in hid_amax:
             continue
-        out[block + ("mlp",)] = np.array(
-            [max(a1 * margin, 1e-4) / 127.0, max(hid_amax[block] * margin, 1e-4) / 127.0],
-            np.float32,
-        )
+        out[block + ("mlp",)] = np.array([scale(a1), scale(hid_amax[block])], np.float32)
+    for attn_path, a_out in attn_out_amax.items():
+        block = attn_path[:-1]
+        if block not in ln1_amax:
+            continue
+        out[attn_path] = np.array([scale(ln1_amax[block]), scale(a_out)], np.float32)
     assert out, "no (ln_2, mlp/fc1) pairs captured -- is this a pre-LN transformer model?"
     return out

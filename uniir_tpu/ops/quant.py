@@ -55,15 +55,22 @@ def quantize_activation(x: jnp.ndarray):
     return xq, a_scale
 
 
-def int8_matmul(x: jnp.ndarray, kernel_q: jnp.ndarray, w_scale: jnp.ndarray, bias=None) -> jnp.ndarray:
-    """Dynamic-activation int8 matmul: y = dequant(quant(x) @ kernel_q).
+def int8_matmul(x: jnp.ndarray, kernel_q: jnp.ndarray, w_scale: jnp.ndarray, bias=None, a_static=None) -> jnp.ndarray:
+    """int8 matmul: y = dequant(quant(x) @ kernel_q).
 
     x: [..., in] float; kernel_q: [in, out] int8; w_scale: [out] f32.
 
-    On TPU, eligible shapes route to the fused Pallas kernel
-    (ops/quant_pallas.py): quantization happens inside the matmul kernel's
-    VMEM, saving the extra HBM round-trips of this XLA formulation
-    (measured ~1.3-1.5x per matmul at CLIP-L shapes).
+    `a_static` (a calibrated per-tensor f32 scalar, ops/calibrate.py) switches
+    the activation quantization from dynamic per-row to STATIC: no cross-lane
+    amax reduce, so XLA fuses the whole quant (mul+round+clip) into the
+    producing fusion (typically the preceding layernorm) and the dequant into
+    the consumer -- this is what removes the ~13 ms of amax passes and most of
+    the ~40 ms of convert traffic the round-3 profile itemized
+    (docs/PERFORMANCE.md per-op table).  Callers pass it only under
+    UNIIR_INT8_BACKEND=static with a calibrated tree.
+
+    On TPU with UNIIR_INT8_BACKEND=pallas, eligible shapes route to the fused
+    Pallas kernel (ops/quant_pallas.py) instead.
     """
     import os
 
@@ -97,6 +104,18 @@ def int8_matmul(x: jnp.ndarray, kernel_q: jnp.ndarray, w_scale: jnp.ndarray, bia
         if bias is not None:
             y = y + bias
         return y
+    if a_static is not None:
+        # static scale: pure-elementwise quantization in f32 (round/clip are
+        # exact there; values past the calibrated amax clip by design)
+        a = jnp.asarray(a_static, jnp.float32).reshape(())
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / a)), -127.0, 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * (a * w_scale)
+        if bias is not None:
+            y = y + bias
+        return y
     xq, a_scale = quantize_activation(x)
     acc = jax.lax.dot_general(
         xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -115,12 +134,13 @@ class QuantDense(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, columns=None):
+    def __call__(self, x, columns=None, a_static=None):
         """`columns=(lo, hi)` restricts the matmul to output columns
         [lo, hi) -- used by the fused qkv projection's cross-attention path
         so the x operand pays only its q third and the kv operand only its
         k/v two-thirds (a full 3W projection per operand wastes one [W, W]
-        int8 matmul per call)."""
+        int8 matmul per call).  `a_static` is the calibrated per-tensor
+        activation scale for the static-int8 serving path (see int8_matmul)."""
         in_features = x.shape[-1]
         kernel_q = self.param("kernel_q", nn.initializers.zeros, (in_features, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
@@ -130,7 +150,7 @@ class QuantDense(nn.Module):
             kernel_q = kernel_q[:, lo:hi]
             scale = scale[lo:hi]
             bias = bias[lo:hi] if bias is not None else None
-        return int8_matmul(x, kernel_q, scale, bias).astype(self.dtype)
+        return int8_matmul(x, kernel_q, scale, bias, a_static=a_static).astype(self.dtype)
 
 
 class QuantParams(nn.Module):
