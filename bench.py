@@ -287,6 +287,16 @@ def main() -> None:
     note = _probe_backend()
 
     import jax
+
+    if note or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # this rig's sitecustomize bakes jax_platforms=axon, so the env var
+        # alone does NOT reroute to CPU -- the config update below is what
+        # actually takes effect (same recipe as tests/conftest.py)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backend already initialised; jax.devices() decides below
+
     import jax.numpy as jnp
 
     dev = jax.devices()[0]

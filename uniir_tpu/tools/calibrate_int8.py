@@ -96,7 +96,15 @@ def main():
     # probe in bf16: calibration observes the FLOAT model's activations
     if getattr(config.model, "int8", False):
         config.model.int8 = False
-    assert config.model.name == "CLIPScoreFusion", "int8 serving covers CLIPScoreFusion"
+    # per-variant MLP activation: CLIP towers use quick_gelu, BLIP's ViT the
+    # exact erf gelu (MED is post-LN and not captured; T5's relu FFN falls
+    # back to per-matmul static scales, models/layers.py)
+    act = {
+        "CLIPScoreFusion": "quick_gelu",
+        "CLIPFeatureFusion": "quick_gelu",
+        "BLIPScoreFusion": "gelu",
+        "BLIPFeatureFusion": "gelu",
+    }[config.model.name]
 
     bundle = build_model_from_config(config)
     batch_size = args.batch_size or config.dataloader_config.batch_size
@@ -110,10 +118,10 @@ def main():
     assert batches, "probe loader yielded no batches"
 
     scales = calibrate_act_scales(
-        bundle.model, bundle.params, batches, act="quick_gelu", margin=args.margin
+        bundle.model, bundle.params, batches, act=act, margin=args.margin
     )
     save_act_scales(args.out, scales)
-    print(f"Calibrated {len(scales)} MLP act-scale pairs over {len(batches)} batches -> {args.out}")
+    print(f"Calibrated {len(scales)} act-scale pairs over {len(batches)} batches -> {args.out}")
 
 
 if __name__ == "__main__":
