@@ -336,6 +336,31 @@ def main() -> None:
     except Exception as e:
         extras.append({"metric": "clip_l_embeds_per_sec_per_chip_int8", "error": repr(e)[:300]})
     _free_device(jax)
+    # the other two int8 activation backends (weight-only / calibrated
+    # static), so one bench artifact carries the whole backends shootout
+    for backend in ("static", "wonly"):
+        metric = f"clip_l_embeds_per_sec_per_chip_int8_{backend}"
+        prev = os.environ.get("UNIIR_INT8_BACKEND")
+        os.environ["UNIIR_INT8_BACKEND"] = backend
+        try:
+            v = bench_embed(jax, jnp, on_tpu, quant=True)
+            extras.append(
+                {
+                    "metric": metric if on_tpu else f"embeds_per_sec_int8_{backend}_cpu_smoke",
+                    "value": round(v, 2),
+                    "unit": "pairs/s",
+                    "vs_baseline": round(v / A100_BASELINE_PAIRS_PER_SEC, 4) if on_tpu else 0.0,
+                    "baseline_basis": BASIS,
+                }
+            )
+        except Exception as e:
+            extras.append({"metric": metric, "error": repr(e)[:300]})
+        finally:
+            if prev is None:
+                os.environ.pop("UNIIR_INT8_BACKEND", None)
+            else:
+                os.environ["UNIIR_INT8_BACKEND"] = prev
+        _free_device(jax)
     try:
         qps = bench_retrieval(jax, jnp, on_tpu)
         extras.append(

@@ -120,3 +120,31 @@ def test_blip_sf_calibrated_static(monkeypatch):
     assert np.all(np.isfinite(np.asarray(e_q, np.float32)))
     cos = _cosine(e_f, e_q)
     assert cos.min() > 0.98, cos
+
+
+def test_clip_ff_calibrated_static(monkeypatch):
+    """CLIP-FF calibrates end to end: tower mlp+attn entries AND the T5
+    fusion stack's per-block relu-FFN + attention entries (round 4); the
+    static backend consumes all of them."""
+    from uniir_tpu.models.clip import CLIP_CONFIGS
+    from uniir_tpu.ops.calibrate import calibrate_act_scales
+
+    model_f, model_q, batch = _build("CLIPFeatureFusion")
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+    e_f = model_f.apply({"params": params}, *batch)
+
+    scales = calibrate_act_scales(model_f, params, [batch], act="quick_gelu")
+    cfg = CLIP_CONFIGS["test-tiny-ff"]
+    t5_blocks = {p for p in scales if p and p[0] == "t5_layers" and p[-1].startswith("block_")}
+    t5_attns = {p for p in scales if p and p[0] == "t5_layers" and p[-1] == "attn"}
+    tower_mlps = {p for p in scales if p[-1] == "mlp"}
+    tower_attns = {p for p in scales if p[-1] == "attn" and p[0] != "t5_layers"}
+    assert len(t5_blocks) == len(t5_attns) > 0, sorted(scales)
+    assert len(tower_mlps) == len(tower_attns) == cfg.vision_layers + cfg.text_layers
+
+    qparams = quantize_tree(params, act_scales=scales)
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")
+    e_q = model_q.apply({"params": qparams}, *batch)
+    assert np.all(np.isfinite(np.asarray(e_q, np.float32)))
+    cos = _cosine(e_f, e_q)
+    assert cos.min() > 0.98, cos

@@ -26,6 +26,20 @@ from uniir_tpu.models.layers import make_dense
 Dtype = Any
 
 
+def _static_scales(mod):
+    """Calibrated act_scales leaf under `mod`'s param path, or None.
+
+    Only consulted under UNIIR_INT8_BACKEND=static; written by
+    ops.quant.quantize_tree from ops.calibrate.calibrate_act_scales."""
+    import os
+
+    if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static" and mod.has_variable(
+        "params", "act_scales"
+    ):
+        return mod.get_variable("params", "act_scales")
+    return None
+
+
 @dataclasses.dataclass(frozen=True)
 class T5FusionConfig:
     d_model: int = 512
@@ -73,14 +87,23 @@ class T5Attention(nn.Module):
     dtype: Dtype = jnp.float32
     quant: bool = False  # int8 projections (dynamic scales; inference)
 
+    def _dense(self, features, name, x, a_static=None):
+        d = make_dense(features, use_bias=False, dtype=self.dtype, quant=self.quant, name=name)
+        return d(x, a_static=a_static) if self.quant else d(x)
+
     @nn.compact
     def __call__(self, x, position_bias: Optional[jnp.ndarray] = None, deterministic: bool = True):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
         B, L, _ = x.shape
-        q = make_dense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="q")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        k = make_dense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="k")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        v = make_dense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="v")(x).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        # static-int8 serving: calibrated [a_qkv, a_out] under this module's
+        # path (ops/calibrate.py captures the attn_ln output and the
+        # attn_pre_out sow below); absent -> dynamic per-row quantization
+        a = _static_scales(self) if self.quant else None
+        a_in = None if a is None else a[0]
+        q = self._dense(inner, "q", x, a_in).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        k = self._dense(inner, "k", x, a_in).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        v = self._dense(inner, "v", x, a_in).reshape(B, L, cfg.num_heads, cfg.d_kv)
 
         # T5: no 1/sqrt(d) scaling
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
@@ -103,7 +126,8 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, inner)
-        out = make_dense(cfg.d_model, use_bias=False, dtype=self.dtype, quant=self.quant, name="o")(out)
+        self.sow("intermediates", "attn_pre_out", out)  # calibration probe
+        out = self._dense(cfg.d_model, "o", out, None if a is None else a[1])
         return out, position_bias
 
 
@@ -122,11 +146,19 @@ class T5Block(nn.Module):
         )(h, position_bias, deterministic)
         x = x + nn.Dropout(cfg.dropout_rate)(attn_out, deterministic=deterministic)
 
+        # static-int8 serving: calibrated [a_ff_in, a_hidden] keyed on this
+        # block (the relu FFN lives inline here, unlike layers.MLP)
+        a = _static_scales(self) if self.quant else None
+
+        def dense(features, name, v, a_static):
+            d = make_dense(features, use_bias=False, dtype=self.dtype, quant=self.quant, name=name)
+            return d(v, a_static=a_static) if self.quant else d(v)
+
         h = T5LayerNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="ff_ln")(x)
-        h = make_dense(cfg.d_ff, use_bias=False, dtype=self.dtype, quant=self.quant, name="wi")(h)
+        h = dense(cfg.d_ff, "wi", h, None if a is None else a[0])
         h = nn.relu(h)
         h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
-        h = make_dense(cfg.d_model, use_bias=False, dtype=self.dtype, quant=self.quant, name="wo")(h)
+        h = dense(cfg.d_model, "wo", h, None if a is None else a[1])
         x = x + nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
         return x, position_bias
 

@@ -93,6 +93,8 @@ def calibrate_act_scales(
     ln2_amax: Dict[Tuple, float] = {}
     hid_amax: Dict[Tuple, float] = {}
     attn_out_amax: Dict[Tuple, float] = {}
+    t5ff_in_amax: Dict[Tuple, float] = {}
+    t5_hid_amax: Dict[Tuple, float] = {}
 
     for batch in batches:
         _, state = model.apply({"params": params}, *batch, capture_intermediates=True)
@@ -110,12 +112,21 @@ def calibrate_act_scales(
             mod_path = path[: path.index("__call__")]
             if not mod_path:
                 continue
-            if mod_path[-1] in ("ln_1", "norm1"):
+            # T5 fusion stack (CLIP-FF): attn_ln feeds q/k/v (an ln_1 alias),
+            # ff_ln feeds wi, relu(wi) feeds wo -- keyed on the T5Block itself
+            if mod_path[-1] in ("ln_1", "norm1", "attn_ln"):
                 block = mod_path[:-1]
                 ln1_amax[block] = max(ln1_amax.get(block, 0.0), _amax(leaf))
             elif mod_path[-1] in ("ln_2", "norm2"):
                 block = mod_path[:-1]
                 ln2_amax[block] = max(ln2_amax.get(block, 0.0), _amax(leaf))
+            elif mod_path[-1] == "ff_ln":
+                block = mod_path[:-1]
+                t5ff_in_amax[block] = max(t5ff_in_amax.get(block, 0.0), _amax(leaf))
+            elif mod_path[-1] == "wi":
+                block = mod_path[:-1]
+                hid = jax.nn.relu(leaf.astype(jnp.float32))  # T5 FFN is relu
+                t5_hid_amax[block] = max(t5_hid_amax.get(block, 0.0), _amax(hid))
             elif len(mod_path) >= 2 and mod_path[-2:] == ("mlp", "fc1"):
                 block = mod_path[:-2]
                 a = act
@@ -139,5 +150,10 @@ def calibrate_act_scales(
         if block not in ln1_amax:
             continue
         out[attn_path] = np.array([scale(ln1_amax[block]), scale(a_out)], np.float32)
+    for block, a1 in t5ff_in_amax.items():
+        if block not in t5_hid_amax:
+            continue
+        # keyed on the T5Block itself: wi/wo live inline in the block
+        out[block] = np.array([scale(a1), scale(t5_hid_amax[block])], np.float32)
     assert out, "no (ln_2, mlp/fc1) pairs captured -- is this a pre-LN transformer model?"
     return out
