@@ -17,7 +17,7 @@ import bench
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="bf16,xla,wonly,static")
+    ap.add_argument("--only", default="bf16,xla,wonly,static,static-xlamlp")
     args = ap.parse_args()
     only = args.only.split(",")
 
@@ -27,7 +27,11 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     results = {}
     for name in only:
-        os.environ["UNIIR_INT8_BACKEND"] = name if name != "bf16" else "xla"
+        # static-xlamlp = static scales through plain XLA matmuls instead of
+        # the Pallas MLP megakernel (UNIIR_INT8_MLP=xla)
+        os.environ["UNIIR_INT8_MLP"] = "xla" if name == "static-xlamlp" else "fused"
+        backend = {"bf16": "xla", "static-xlamlp": "static"}.get(name, name)
+        os.environ["UNIIR_INT8_BACKEND"] = backend
         try:
             pairs = bench.bench_embed(jax, jnp, on_tpu, quant=name != "bf16")
             results[name] = pairs

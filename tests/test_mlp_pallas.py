@@ -94,6 +94,14 @@ def test_static_backend_end_to_end(monkeypatch):
     cos = np.sum(y_q * y_f) / (np.linalg.norm(y_q) * np.linalg.norm(y_f))
     assert cos > 0.99, cos
 
+    # UNIIR_INT8_MLP=xla: same static scales through plain XLA matmuls
+    # instead of the Pallas megakernel -- must track the float model just as
+    # closely (the two formulations differ only in intermediate rounding)
+    monkeypatch.setenv("UNIIR_INT8_MLP", "xla")
+    y_x = np.asarray(qmodel.apply({"params": qparams}, x), np.float32)
+    cos_x = np.sum(y_x * y_f) / (np.linalg.norm(y_x) * np.linalg.norm(y_f))
+    assert cos_x > 0.99, cos_x
+
 
 def test_quantize_tree_rejects_stale_calibration():
     from uniir_tpu.ops.quant import quantize_tree

@@ -214,10 +214,18 @@ class MLP(nn.Module):
             ):
                 a = self.get_variable("params", "act_scales")  # [a1, a2] f32
         if a is not None and res is not None:
+            import os
+
             from uniir_tpu.ops.mlp_pallas import fused_int8_mlp, fused_int8_mlp_supported
             from uniir_tpu.ops.quant import QuantParams
 
-            if fused_int8_mlp_supported(self.width, self.hidden_width, self.act):
+            # UNIIR_INT8_MLP=xla opts the static path out of the Pallas
+            # megakernel into plain static-scale XLA matmuls (quant fuses
+            # into the producing LN, dequant into the consumer) -- the two
+            # formulations trade VMEM residency against XLA's own fusion;
+            # the backends shootout picks the winner per chip generation
+            use_fused = os.environ.get("UNIIR_INT8_MLP", "fused") != "xla"
+            if use_fused and fused_int8_mlp_supported(self.width, self.hidden_width, self.act):
                 w1q, s1, b1 = QuantParams(x.shape[-1], self.hidden_width, name="fc1")()
                 w2q, s2, b2 = QuantParams(self.hidden_width, self.width, name="fc2")()
                 return fused_int8_mlp(

@@ -290,9 +290,20 @@ def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) ->
             k = max(int(m.split("@")[1]) for m in metric_recall_list)
 
             print(f"Retriever: query:{dataset_name} | split:{split} | pool:{cand_pool_name} | k={k}")
+            # retrieval_config.pool_dtype: "int8" opts the single-device
+            # Pallas sweep into the guarded int8 pool (results stay exact --
+            # see search_dense_index); default bf16
+            search_stats = {}
             retrieved_dist, retrieved_indices = search_dense_index(
-                query_embeds, index, num_cand_to_retrieve=k, mesh=mesh
+                query_embeds, index, num_cand_to_retrieve=k, mesh=mesh,
+                pool_dtype=getattr(retrieval_config, "pool_dtype", None),
+                stats=search_stats,
             )
+            if search_stats.get("pool_dtype") == "int8":
+                print(
+                    f"Retriever: int8 pool sweep, guard_pass_rate="
+                    f"{search_stats['guard_pass_rate']:.4f}, exact_reruns={search_stats['exact_reruns']}"
+                )
 
             pool_kind = "union_pool" if cand_pool_name == "union" else "single_pool"
             run_id = f"mbeir_{dataset_name}_{pool_kind}_{split}_k{k}"
