@@ -22,6 +22,15 @@ def main():
     only = args.only.split(",")
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # sitecustomize bakes the TPU platform; the env var alone does not
+        # reroute (see bench.py main)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     on_tpu = jax.devices()[0].platform != "cpu"

@@ -8,9 +8,9 @@ under every activation backend (xla dynamic / weight-only / static).
 
 Static backend notes: without calibrated `act_scales` leaves the static
 backend falls back to dynamic per-row quantization (models/layers.py), so it
-is exercised both bare (fallback) and, for the pre-LN towers (CLIP, BLIP
-ViT), with real calibrated scales from ops/calibrate.py.  MED (post-LN BERT)
-has no pre-LN probe point and always uses dynamic activation scales.
+is exercised both bare (fallback) and with real calibrated scales from
+ops/calibrate.py -- pre-LN towers (CLIP, BLIP ViT, T5) via LN captures,
+post-LN MED via direct dense-input sows.
 """
 
 import jax
@@ -99,8 +99,9 @@ def test_variant_int8_embeddings_agree(name, backend, monkeypatch):
 
 
 def test_blip_sf_calibrated_static(monkeypatch):
-    """Pre-LN BLIP ViT calibrates (norm1/norm2 + attn probe points) and the
-    static backend consumes the scales; MED stays dynamic-fallback."""
+    """BLIP calibrates end to end: pre-LN ViT via norm1/norm2 + attn probes,
+    post-LN MED via the direct dense-input sows (q_in/kv_in/attn_pre_out per
+    attention, ffn_in/ffn_hid per layer); the static backend consumes all."""
     from uniir_tpu.ops.calibrate import calibrate_act_scales
 
     model_f, model_q, batch = _build("BLIPScoreFusion")
@@ -108,11 +109,16 @@ def test_blip_sf_calibrated_static(monkeypatch):
     e_f = model_f.apply({"params": params}, *batch)
 
     scales = calibrate_act_scales(model_f, params, [batch], act="gelu")
-    # every ViT block contributes an mlp and an attn entry; MED none
-    vit_blocks = {p[:-1] for p in scales}
-    assert all(p[0] == "visual_encoder" for p in vit_blocks), sorted(vit_blocks)
-    assert {p[-1] for p in scales} == {"mlp", "attn"}
-    assert len(scales) == 2 * VIT.layers
+    vit = {p for p in scales if p[0] == "visual_encoder"}
+    med = {p for p in scales if p[0] == "text_encoder"}
+    assert vit | med == set(scales)
+    assert len(vit) == 2 * VIT.layers  # mlp + attn per ViT block
+    # self-attention 3-vector + FFN pair per MED layer (text mode: no cross)
+    med_attn = {p for p in med if p[-1] == "attention"}
+    med_ffn = {p for p in med if p[-1].startswith("layer_")}
+    assert len(med_attn) == len(med_ffn) == MED.num_hidden_layers, sorted(med)
+    for p in med_attn:
+        assert scales[p].shape == (3,)
 
     qparams = quantize_tree(params, act_scales=scales)
     monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")
@@ -141,6 +147,29 @@ def test_clip_ff_calibrated_static(monkeypatch):
     tower_attns = {p for p in scales if p[-1] == "attn" and p[0] != "t5_layers"}
     assert len(t5_blocks) == len(t5_attns) > 0, sorted(scales)
     assert len(tower_mlps) == len(tower_attns) == cfg.vision_layers + cfg.text_layers
+
+    qparams = quantize_tree(params, act_scales=scales)
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")
+    e_q = model_q.apply({"params": qparams}, *batch)
+    assert np.all(np.isfinite(np.asarray(e_q, np.float32)))
+    cos = _cosine(e_f, e_q)
+    assert cos.min() > 0.98, cos
+
+
+def test_blip_ff_calibrated_static_cross_attention(monkeypatch):
+    """BLIP-FF's multimodal text pass calibrates the cross-attention too
+    (q from the text stream, k/v from the ViT encoder output)."""
+    from uniir_tpu.ops.calibrate import calibrate_act_scales
+
+    model_f, model_q, batch = _build("BLIPFeatureFusion")
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+    e_f = model_f.apply({"params": params}, *batch)
+
+    scales = calibrate_act_scales(model_f, params, [batch], act="gelu")
+    cross = {p for p in scales if p[-1] == "crossattention"}
+    assert len(cross) == MED.num_hidden_layers, sorted(scales)
+    for p in cross:
+        assert scales[p].shape == (3,)
 
     qparams = quantize_tree(params, act_scales=scales)
     monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")

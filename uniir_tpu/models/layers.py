@@ -34,6 +34,20 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
 ACTIVATIONS: dict = {"gelu": gelu_exact, "quick_gelu": quick_gelu, "relu": nn.relu}
 
 
+def static_scales(mod):
+    """Calibrated `act_scales` leaf under `mod`'s param path, or None.
+
+    Only consulted under UNIIR_INT8_BACKEND=static; written by
+    ops.quant.quantize_tree from ops.calibrate.calibrate_act_scales."""
+    import os
+
+    if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static" and mod.has_variable(
+        "params", "act_scales"
+    ):
+        return mod.get_variable("params", "act_scales")
+    return None
+
+
 def make_dense(features: int, *, dtype, quant: bool, name: str, use_bias: bool = True, kernel_init=None):
     """nn.Dense or its int8 twin (uniir_tpu.ops.quant.QuantDense)."""
     if quant:

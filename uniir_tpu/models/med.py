@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from uniir_tpu.models.layers import make_dense
+from uniir_tpu.models.layers import make_dense, static_scales
 
 Dtype = Any
 NEG_INF = -1e9  # matches HF's additive-mask convention closely enough in fp32
@@ -67,8 +67,11 @@ class BertSelfAttentionBlock(nn.Module):
     cfg: MedConfig
     is_cross: bool = False
     dtype: Dtype = jnp.float32
-    quant: bool = False  # int8 projections -- dynamic-scale only (post-LN BERT
-    # has no pre-LN probe point for the static calibration, ops/calibrate.py)
+    quant: bool = False  # int8 projections (inference/serving path)
+
+    def _dense(self, features, name, x, a_static=None):
+        d = make_dense(features, dtype=self.dtype, quant=self.quant, name=name)
+        return d(x, a_static=a_static) if self.quant else d(x)
 
     @nn.compact
     def __call__(self, hidden, attn_mask=None, kv=None, deterministic: bool = True, self_kv=None):
@@ -79,12 +82,19 @@ class BertSelfAttentionBlock(nn.Module):
         # attention pass; residual + q still come from `hidden`
         kv_src = kv if self.is_cross else (self_kv if self_kv is not None else hidden)
 
+        # static-int8: post-LN BERT has no pre-LN capture point, so the
+        # calibration probes the dense INPUTS directly via sows -- [a_q,
+        # a_kv, a_ctx] under this module's path (ops/calibrate.py)
+        a = static_scales(self) if self.quant else None
+        self.sow("intermediates", "q_in", hidden)
+        self.sow("intermediates", "kv_in", kv_src)
+
         # separate q/k/v denses (HF BertSelfAttention param layout); under
         # int8 the identical quantize-activation subgraphs over `hidden` /
         # `kv_src` are CSE'd by XLA into one quant pass each
-        q = make_dense(H, dtype=self.dtype, quant=self.quant, name="query")(hidden)
-        k = make_dense(H, dtype=self.dtype, quant=self.quant, name="key")(kv_src)
-        v = make_dense(H, dtype=self.dtype, quant=self.quant, name="value")(kv_src)
+        q = self._dense(H, "query", hidden, None if a is None else a[0])
+        k = self._dense(H, "key", kv_src, None if a is None else a[1])
+        v = self._dense(H, "value", kv_src, None if a is None else a[1])
         B, Lq = hidden.shape[0], hidden.shape[1]
         Lk = kv_src.shape[1]
         q = q.reshape(B, Lq, heads, head_dim)
@@ -98,7 +108,8 @@ class BertSelfAttentionBlock(nn.Module):
         probs = nn.Dropout(cfg.attention_probs_dropout_prob)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, H)
 
-        out = make_dense(H, dtype=self.dtype, quant=self.quant, name="output_dense")(ctx)
+        self.sow("intermediates", "attn_pre_out", ctx)
+        out = self._dense(H, "output_dense", ctx, None if a is None else a[2])
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(out + hidden)
 
@@ -125,9 +136,20 @@ class BertLayer(nn.Module):
             hidden = BertSelfAttentionBlock(cfg, is_cross=True, dtype=self.dtype, quant=self.quant, name="crossattention")(
                 hidden, enc_mask, kv=enc_hidden, deterministic=deterministic
             )
-        h = make_dense(cfg.intermediate_size, dtype=self.dtype, quant=self.quant, name="intermediate")(hidden)
+
+        # static-int8 FFN: [a_ffn_in, a_hid] keyed on this layer, probed via
+        # the sows below (post-LN -> no pre-LN capture point)
+        a = static_scales(self) if self.quant else None
+
+        def dense(features, name, v, a_static):
+            d = make_dense(features, dtype=self.dtype, quant=self.quant, name=name)
+            return d(v, a_static=a_static) if self.quant else d(v)
+
+        self.sow("intermediates", "ffn_in", hidden)
+        h = dense(cfg.intermediate_size, "intermediate", hidden, None if a is None else a[0])
         h = nn.gelu(h, approximate=False)  # exact erf GELU (HF BERT parity)
-        h = make_dense(cfg.hidden_size, dtype=self.dtype, quant=self.quant, name="output_dense")(h)
+        self.sow("intermediates", "ffn_hid", h)
+        h = dense(cfg.hidden_size, "output_dense", h, None if a is None else a[1])
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(h + hidden)
 

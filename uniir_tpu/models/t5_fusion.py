@@ -21,23 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from uniir_tpu.models.layers import make_dense
+from uniir_tpu.models.layers import make_dense, static_scales as _static_scales
 
 Dtype = Any
-
-
-def _static_scales(mod):
-    """Calibrated act_scales leaf under `mod`'s param path, or None.
-
-    Only consulted under UNIIR_INT8_BACKEND=static; written by
-    ops.quant.quantize_tree from ops.calibrate.calibrate_act_scales."""
-    import os
-
-    if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static" and mod.has_variable(
-        "params", "act_scales"
-    ):
-        return mod.get_variable("params", "act_scales")
-    return None
 
 
 @dataclasses.dataclass(frozen=True)

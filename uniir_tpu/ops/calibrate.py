@@ -92,19 +92,25 @@ def calibrate_act_scales(
     ln1_amax: Dict[Tuple, float] = {}
     ln2_amax: Dict[Tuple, float] = {}
     hid_amax: Dict[Tuple, float] = {}
-    attn_out_amax: Dict[Tuple, float] = {}
     t5ff_in_amax: Dict[Tuple, float] = {}
     t5_hid_amax: Dict[Tuple, float] = {}
+    # direct dense-input probes sown by the models (attn_pre_out everywhere;
+    # q_in/kv_in/ffn_in/ffn_hid in post-LN MED, which has no LN capture
+    # point): {module path: {probe name: amax}}
+    SOWS = ("attn_pre_out", "q_in", "kv_in", "ffn_in", "ffn_hid")
+    sow_amax: Dict[Tuple, Dict[str, float]] = {}
 
     for batch in batches:
         _, state = model.apply({"params": params}, *batch, capture_intermediates=True)
         flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
         for keypath, leaf in flat:
             path = tuple(getattr(k, "key", str(k)) for k in keypath)
-            if "attn_pre_out" in path:
-                attn_path = path[: path.index("attn_pre_out")]  # (..., "attn")
-                if attn_path:
-                    attn_out_amax[attn_path] = max(attn_out_amax.get(attn_path, 0.0), _amax(leaf))
+            sow = next((s for s in SOWS if s in path), None)
+            if sow is not None:
+                mod = path[: path.index(sow)]
+                if mod:
+                    probes = sow_amax.setdefault(mod, {})
+                    probes[sow] = max(probes.get(sow, 0.0), _amax(leaf))
                 continue
             # capture layout: (..., module, "__call__", idx)
             if "__call__" not in path:
@@ -145,11 +151,19 @@ def calibrate_act_scales(
         if block not in hid_amax:
             continue
         out[block + ("mlp",)] = np.array([scale(a1), scale(hid_amax[block])], np.float32)
-    for attn_path, a_out in attn_out_amax.items():
-        block = attn_path[:-1]
-        if block not in ln1_amax:
-            continue
-        out[attn_path] = np.array([scale(ln1_amax[block]), scale(a_out)], np.float32)
+    for mod, probes in sow_amax.items():
+        if {"q_in", "kv_in", "attn_pre_out"} <= set(probes):
+            # MED-style attention: every dense input probed directly
+            out[mod] = np.array(
+                [scale(probes["q_in"]), scale(probes["kv_in"]), scale(probes["attn_pre_out"])],
+                np.float32,
+            )
+        elif "attn_pre_out" in probes and mod[:-1] in ln1_amax:
+            # pre-LN attention (CLIP/BLIP/T5): qkv input = the block's ln_1
+            out[mod] = np.array([scale(ln1_amax[mod[:-1]]), scale(probes["attn_pre_out"])], np.float32)
+        elif {"ffn_in", "ffn_hid"} <= set(probes):
+            # MED FFN, keyed on the BertLayer (intermediate/output inline)
+            out[mod] = np.array([scale(probes["ffn_in"]), scale(probes["ffn_hid"])], np.float32)
     for block, a1 in t5ff_in_amax.items():
         if block not in t5_hid_amax:
             continue

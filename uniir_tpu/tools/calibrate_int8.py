@@ -1,10 +1,12 @@
 """Offline static-int8 activation calibration CLI.
 
 Produces the calibration artifact that `UNIIR_INT8_BACKEND=static` serving
-consumes: per-MLP activation amax scales, measured by running the BF16 model
-over real M-BEIR probe batches (TensorRT-style post-training calibration; the
-reference has no int8 serving path at all -- fp16 autocast only,
-src/common/mbeir_embedder.py:49-56).
+consumes: per-projection activation amax scales (MLP pairs, attention
+qkv/out pairs, MED's per-dense sow probes, T5's per-block FFN pairs),
+measured by running the BF16 model over real M-BEIR probe batches
+(TensorRT-style post-training calibration; the reference has no int8 serving
+path at all -- fp16 autocast only, src/common/mbeir_embedder.py:49-56).
+Works for all four model variants.
 
     python -m uniir_tpu.tools.calibrate_int8 \
         --config_path configs/clip_sf/large/eval/inbatch/embed.yaml \
