@@ -9,6 +9,7 @@ Usage: python scripts/bench_attn.py [--causal] [--batch 256] [--len 257]
 """
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -53,6 +54,13 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # sitecustomize bakes the TPU platform; env alone does not reroute
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from uniir_tpu.ops import attention_pallas as ap

@@ -6,7 +6,7 @@ device plane, and aggregates self-time by HLO op category -- the measured
 answer to "where does the non-matmul time go".
 
 Usage (real chip):
-    python scripts/profile_embed.py [--quant] [--batch 256] [--top 25]
+    python scripts/profile_embed.py [--quant [--backend static]] [--batch 256] [--top 25]
 
 Output: a table of (category, ms, %) + the top individual ops, suitable for
 docs/PERFORMANCE.md's profile-accounting section.
@@ -27,6 +27,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 def capture_trace(args):
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # sitecustomize bakes the TPU platform; env alone does not reroute
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -49,7 +56,18 @@ def capture_trace(args):
     if args.quant:
         from uniir_tpu.ops.quant import quantize_tree
 
-        params = quantize_tree(params)
+        act_scales = None
+        if args.backend:
+            os.environ["UNIIR_INT8_BACKEND"] = args.backend
+        if os.environ.get("UNIIR_INT8_BACKEND", "xla") == "static":
+            # static scales from a probe on the same input distribution
+            # (mirrors bench.bench_embed)
+            from uniir_tpu.ops.calibrate import calibrate_act_scales
+
+            act_scales = calibrate_act_scales(
+                init_model, params, [(txt, img, mask, mask)], act="quick_gelu", margin=1.25
+            )
+        params = quantize_tree(params, act_scales=act_scales)
     params = jax.device_put(params)
 
     txt_b = rng.integers(1, cfg.vocab_size - 1, size=(batch, cfg.context_length)).astype(np.int32)
@@ -162,6 +180,8 @@ def parse_xplane(log_dir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--backend", default=None, choices=["xla", "wonly", "static"],
+                    help="int8 activation backend for --quant (sets UNIIR_INT8_BACKEND)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
