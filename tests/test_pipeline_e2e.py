@@ -83,3 +83,37 @@ def test_embed_with_mesh(pipeline_root, bundle, mesh8):
     q = np.load(os.path.join(pipeline_root, "embed", config.experiment.path_suffix, "cand_pool", "mbeir_mscoco_task0_cand_pool_embed.npy"))
     ref = np.load(os.path.join(pipeline_root, "embed", "CLIP_SF/Tiny/Instruct/InBatch/", "cand_pool", "mbeir_mscoco_task0_cand_pool_embed.npy"))
     np.testing.assert_allclose(q.astype(np.float32), ref.astype(np.float32), atol=2e-3)
+
+
+def test_embed_pipeline_with_int8_bundle(pipeline_root, bundle):
+    """The embedder runs an int8 quant twin end to end through the file
+    pipeline, and its fp16 artifacts track the float bundle's (round-4: int8
+    serving is a first-class mode for the whole eval surface)."""
+    from uniir_tpu.models.registry import ModelBundle
+    from uniir_tpu.ops.quant import quantize_tree
+
+    config = make_eval_config(pipeline_root)
+    expt_float = "CLIP_SF/TinyInt8Ref/Instruct/InBatch/"
+    config.experiment.path_suffix = expt_float
+    generate_embeds_for_config(bundle, config)  # float reference artifacts
+    config.experiment.path_suffix = "CLIP_SF/TinyInt8/Instruct/InBatch/"
+
+    qbundle = ModelBundle(
+        bundle.name,
+        bundle.model.clone(quant=True),
+        quantize_tree(bundle.params),
+        bundle.tokenizer,
+        bundle.img_preprocess_fn,
+        bundle.img_preprocess_fn_eval,
+        bundle.image_size,
+        bundle.embed_dim,
+    )
+    generate_embeds_for_config(qbundle, config)
+
+    embed_dir = os.path.join(pipeline_root, "embed")
+    rel = os.path.join("cand_pool", "mbeir_mscoco_task0_cand_pool_embed.npy")
+    e_q = np.load(os.path.join(embed_dir, config.experiment.path_suffix, rel)).astype(np.float32)
+    e_f = np.load(os.path.join(embed_dir, expt_float, rel)).astype(np.float32)
+    assert e_q.shape == e_f.shape
+    cos = np.sum(e_q * e_f, -1) / (np.linalg.norm(e_q, axis=-1) * np.linalg.norm(e_f, axis=-1) + 1e-9)
+    assert cos.min() > 0.98, cos.min()
