@@ -141,13 +141,21 @@ def _bucket_max_kernel_i8(q_ref, pool_ref, qs_ref, ps_ref, valid_ref, out_ref):
         out_ref[...] = jnp.max(tiles, axis=1)
 
 
-def quantize_pool(pool) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-row int8 pool: (pool_q [N, D] int8, scale [N] f32)."""
-    pool = jnp.asarray(pool)
+@jax.jit
+def _quantize_pool_impl(pool):
     amax = jnp.max(jnp.abs(pool.astype(jnp.float32)), axis=1)
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(pool.astype(jnp.float32) / scale[:, None]), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
+
+
+def quantize_pool(pool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 pool: (pool_q [N, D] int8, scale [N] f32).
+
+    Jitted so XLA fuses the f32 casts into the reduce + quant chain: run
+    eagerly, `pool.astype(f32)` would materialize a full-precision copy of a
+    multi-GB pool (17 GB at the 5.6M x 768 bench shape) and OOM the chip."""
+    return _quantize_pool_impl(jnp.asarray(pool))
 
 
 def bucket_max_scores_i8(
