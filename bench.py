@@ -433,7 +433,13 @@ def main() -> None:
             }
         )
     except Exception as e:
-        if on_tpu and "RESOURCE_EXHAUSTED" in repr(e):
+        # RESOURCE_EXHAUSTED: genuine HBM pressure -> retry smaller.
+        # INTERNAL/remote_compile: this rig's relay compile-helper can crash
+        # on the large fwd+bwd scan program (observed: "HTTP 500:
+        # tpu_compile_helper subprocess exit code 1") -- also worth one
+        # smaller-program retry rather than giving up.
+        retriable = ("RESOURCE_EXHAUSTED", "INTERNAL", "remote_compile")
+        if on_tpu and any(s in repr(e) for s in retriable):
             _free_device(jax)
             try:
                 exs = bench_train_step(jax, jnp, on_tpu, bs=32)
@@ -444,7 +450,7 @@ def main() -> None:
                         "unit": "examples/s",
                         "vs_baseline": round(exs / A100_TRAIN_EX_PER_SEC, 4),
                         "baseline_basis": BASIS,
-                        "note": "batch 32 after device OOM at batch 64",
+                        "note": f"batch 32 retry after: {repr(e)[:120]}",
                     }
                 )
             except Exception as e2:

@@ -17,7 +17,7 @@ import bench
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="bf16,xla,wonly,static,static-xlamlp")
+    ap.add_argument("--only", default="bf16,xla,wonly,static,static-fusedmlp")
     args = ap.parse_args()
     only = args.only.split(",")
 
@@ -36,10 +36,12 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     results = {}
     for name in only:
-        # static-xlamlp = static scales through plain XLA matmuls instead of
-        # the Pallas MLP megakernel (UNIIR_INT8_MLP=xla)
-        os.environ["UNIIR_INT8_MLP"] = "xla" if name == "static-xlamlp" else "fused"
-        backend = {"bf16": "xla", "static-xlamlp": "static"}.get(name, name)
+        # static = static scales through plain XLA matmuls (the default since
+        # round 4: 1304 vs 889 pairs/s on v5e); static-fusedmlp opts into the
+        # Pallas MLP megakernel (UNIIR_INT8_MLP=fused).  "static-xlamlp" is
+        # kept as an alias for the old name.
+        os.environ["UNIIR_INT8_MLP"] = "fused" if name == "static-fusedmlp" else "xla"
+        backend = {"bf16": "xla", "static-fusedmlp": "static", "static-xlamlp": "static"}.get(name, name)
         os.environ["UNIIR_INT8_BACKEND"] = backend
         try:
             pairs = bench.bench_embed(jax, jnp, on_tpu, quant=name != "bf16")

@@ -88,15 +88,18 @@ def test_static_backend_end_to_end(monkeypatch):
         assert qparams[f"resblocks_{i}"]["mlp"]["act_scales"].shape == (2,)
         assert qparams[f"resblocks_{i}"]["attn"]["act_scales"].shape == (2,)
 
+    # UNIIR_INT8_MLP=fused: the Pallas megakernel formulation (opt-in since
+    # round 4 -- on v5e the XLA formulation wins end-to-end, see layers.py)
     monkeypatch.setenv("UNIIR_INT8_BACKEND", "static")
+    monkeypatch.setenv("UNIIR_INT8_MLP", "fused")
     qmodel = Transformer(W, layers, heads, act="quick_gelu", dtype=jnp.bfloat16, quant=True)
     y_q = np.asarray(qmodel.apply({"params": qparams}, x), np.float32)
     cos = np.sum(y_q * y_f) / (np.linalg.norm(y_q) * np.linalg.norm(y_f))
     assert cos > 0.99, cos
 
-    # UNIIR_INT8_MLP=xla: same static scales through plain XLA matmuls
-    # instead of the Pallas megakernel -- must track the float model just as
-    # closely (the two formulations differ only in intermediate rounding)
+    # UNIIR_INT8_MLP=xla (the default): same static scales through plain XLA
+    # matmuls instead of the Pallas megakernel -- must track the float model
+    # just as closely (the formulations differ only in intermediate rounding)
     monkeypatch.setenv("UNIIR_INT8_MLP", "xla")
     y_x = np.asarray(qmodel.apply({"params": qparams}, x), np.float32)
     cos_x = np.sum(y_x * y_f) / (np.linalg.norm(y_x) * np.linalg.norm(y_f))

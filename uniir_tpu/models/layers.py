@@ -233,12 +233,16 @@ class MLP(nn.Module):
             from uniir_tpu.ops.mlp_pallas import fused_int8_mlp, fused_int8_mlp_supported
             from uniir_tpu.ops.quant import QuantParams
 
-            # UNIIR_INT8_MLP=xla opts the static path out of the Pallas
-            # megakernel into plain static-scale XLA matmuls (quant fuses
-            # into the producing LN, dequant into the consumer) -- the two
-            # formulations trade VMEM residency against XLA's own fusion;
-            # the backends shootout picks the winner per chip generation
-            use_fused = os.environ.get("UNIIR_INT8_MLP", "fused") != "xla"
+            # UNIIR_INT8_MLP picks the static-path MLP formulation: "xla"
+            # (DEFAULT) = plain static-scale XLA matmuls (quant fuses into
+            # the producing LN, dequant into the consumer); "fused" = the
+            # Pallas megakernel (ops/mlp_pallas.py).  Measured on v5e
+            # (CLIP-L batch 256, docs/PERFORMANCE.md): the megakernel's
+            # matmul time equals XLA's, but its 2-D [M, W] operand forces a
+            # materialized [B,L,W]->[B*L,W] tiled-layout reshape copy
+            # (~48 ms/rep of copy + ~15 ms of unfused elementwise), so XLA
+            # wins end-to-end: 1304 vs 889 pairs/s.
+            use_fused = os.environ.get("UNIIR_INT8_MLP", "xla") == "fused"
             if use_fused and fused_int8_mlp_supported(self.width, self.hidden_width, self.act):
                 w1q, s1, b1 = QuantParams(x.shape[-1], self.hidden_width, name="fc1")()
                 w2q, s2, b2 = QuantParams(self.hidden_width, self.width, name="fc2")()
