@@ -46,24 +46,28 @@ def test_pallas_topk_valid_n():
 
 def test_pallas_topk_int8_candidate_generation():
     """int8 bucket-max sweep + exact bf16 rescore: same results as the exact
-    path at overfetch=4 (and the returned scores are the exact bf16 ones)."""
+    path, for BOTH scale granularities (per-bucket = the serving default with
+    the int32-max kernel; per-row = the dequantize-then-max kernel)."""
     from uniir_tpu.ops.topk_pallas import quantize_pool
 
-    pool_q, pool_scale = quantize_pool(POOL)
-    assert pool_q.dtype == jnp.int8 and pool_scale.shape == (POOL.shape[0],)
-    v8, i8 = pallas_topk(
-        jnp.asarray(QUERIES), POOL, k=5, interpret=True, pool_quant=(pool_q, pool_scale)
-    )
     v, i = pallas_topk(jnp.asarray(QUERIES), POOL, k=5, interpret=True)
-    # exact rescore means identical top-k sets and identical (bf16) scores
-    for r in range(16):
-        assert set(np.asarray(i8[r]).tolist()) == set(np.asarray(i[r]).tolist()), r
-    np.testing.assert_allclose(np.asarray(v8), np.asarray(v), atol=1e-5)
-    # valid_n masking works on the int8 path too
-    v8b, i8b = pallas_topk(
-        jnp.asarray(QUERIES), POOL, k=5, valid_n=3000, interpret=True, pool_quant=(pool_q, pool_scale)
-    )
-    assert (np.asarray(i8b) < 3000).all()
+    for per_bucket, scale_shape in [(True, (POOL.shape[0] // GROUP,)), (False, (POOL.shape[0],))]:
+        pool_q, pool_scale = quantize_pool(POOL, per_bucket=per_bucket)
+        assert pool_q.dtype == jnp.int8 and pool_scale.shape == scale_shape
+        v8, i8 = pallas_topk(
+            jnp.asarray(QUERIES), POOL, k=5, interpret=True, pool_quant=(pool_q, pool_scale)
+        )
+        # exact rescore means identical top-k sets and identical (bf16) scores
+        for r in range(16):
+            assert set(np.asarray(i8[r]).tolist()) == set(np.asarray(i[r]).tolist()), (per_bucket, r)
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v), atol=1e-5)
+        # valid_n masking works on the int8 path too (3000 is mid-chunk, so
+        # the boundary chunk exercises partial buckets; the bucketed kernel
+        # additionally NEG-masks fully-invalid buckets after dequant)
+        v8b, i8b = pallas_topk(
+            jnp.asarray(QUERIES), POOL, k=5, valid_n=3000, interpret=True, pool_quant=(pool_q, pool_scale)
+        )
+        assert (np.asarray(i8b) < 3000).all(), per_bucket
 
 
 def test_pallas_topk_guard():

@@ -149,13 +149,80 @@ def _quantize_pool_impl(pool):
     return q, scale.astype(jnp.float32)
 
 
-def quantize_pool(pool) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-row int8 pool: (pool_q [N, D] int8, scale [N] f32).
+@jax.jit
+def _quantize_pool_bucketed_impl(pool):
+    N = pool.shape[0]
+    n_chunks = N // CHUNK
+    amax = jnp.max(jnp.abs(pool.astype(jnp.float32)), axis=1)  # [N]
+    # strided-bucket member m of bucket (i, l) is row i*CHUNK + m*128 + l,
+    # so reshape [n_chunks, GROUP, 128] maps row -> (i, m, l) exactly
+    b_amax = jnp.max(amax.reshape(n_chunks, GROUP, 128), axis=1)  # [n_chunks, 128]
+    scale_b = jnp.maximum(b_amax, 1e-6) / 127.0
+    row_scale = jnp.broadcast_to(scale_b[:, None, :], (n_chunks, GROUP, 128)).reshape(N)
+    q = jnp.clip(jnp.round(pool.astype(jnp.float32) / row_scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale_b.reshape(n_chunks * 128)
+
+
+def quantize_pool(pool, per_bucket: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 pool: (pool_q [N, D] int8, scale f32).
+
+    `per_bucket=False` (the serving default) gives per-row scales [N] for
+    the dequantize-then-max kernel.  `per_bucket=True` shares one scale
+    across each strided bucket's GROUP members (scale shape [N/GROUP]) so
+    the sweep kernel can take the bucket max in INT32 and dequantize only
+    the [Q, 128] maxima -- the hypothesis was that the per-element f32
+    convert+multiply was the per-row kernel's gap to its HBM roofline, but
+    ON CHIP THE BUCKETED KERNEL MEASURES SLOWER (11.2 vs 9.6 ms sweep,
+    scripts/bench_topk_phases.py --phase3): the dequant arithmetic
+    overlaps the MXU anyway, and the coarser scales buy nothing.  Kept as
+    an option because exactness is unaffected either way (survivors are
+    rescored against the bf16 pool; the guard certifies the cut).
 
     Jitted so XLA fuses the f32 casts into the reduce + quant chain: run
     eagerly, `pool.astype(f32)` would materialize a full-precision copy of a
     multi-GB pool (17 GB at the 5.6M x 768 bench shape) and OOM the chip."""
-    return _quantize_pool_impl(jnp.asarray(pool))
+    pool = jnp.asarray(pool)
+    if per_bucket:
+        assert pool.shape[0] % CHUNK == 0, "pad the pool first (pad_pool_for_chunks)"
+        return _quantize_pool_bucketed_impl(pool)
+    return _quantize_pool_impl(pool)
+
+
+def _bucket_max_kernel_i8b(q_ref, pool_ref, qs_ref, ps_ref, valid_ref, out_ref):
+    """Per-BUCKET-scale int8 variant: all GROUP members of a strided bucket
+    share one scale, so the bucket max runs in INT32 on the [Q, GROUP, 128]
+    tiles and only the [Q, 128] maxima are dequantized -- the per-row
+    kernel's [Q, CHUNK] f32 convert + two multiplies per grid step were the
+    measured gap to the sweep's HBM roofline."""
+    from jax.experimental import pallas as pl
+
+    q = q_ref[...]  # [QT, D] int8
+    chunk_rows = pool_ref[...]  # [CHUNK, D] int8
+    acc = jax.lax.dot_general(
+        q, chunk_rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [QT, CHUNK] int32
+    Q = acc.shape[0]
+    tiles = acc.reshape(Q, GROUP, 128)
+    base = pl.program_id(0) * CHUNK
+    valid = valid_ref[0, 0]
+
+    @pl.when(base + CHUNK > valid)
+    def _():
+        # int32 sentinel masking is safe WITHIN a bucket (same positive
+        # scale); a fully-invalid bucket needs the f32 NEG after dequant --
+        # its dequantized sentinel (-2^31 * scale) can be a small negative
+        # number that would outrank true negative scores
+        m_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
+        row = base + m_idx * 128 + l_idx
+        masked = jnp.where((row < valid)[None], tiles, jnp.int32(-(2**31 - 1)))
+        deq = jnp.max(masked, axis=1).astype(jnp.float32) * qs_ref[...] * ps_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[...] = jnp.where(base + lane < valid, deq, jnp.float32(NEG))
+
+    @pl.when(base + CHUNK <= valid)
+    def _():
+        out_ref[...] = jnp.max(tiles, axis=1).astype(jnp.float32) * qs_ref[...] * ps_ref[...]
 
 
 def bucket_max_scores_i8(
@@ -165,7 +232,11 @@ def bucket_max_scores_i8(
     valid_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """int8 phase-1: approximate strided-bucket maxima [Q, N/GROUP] (f32)."""
+    """int8 phase-1: approximate strided-bucket maxima [Q, N/GROUP] (f32).
+
+    `pool_scale` selects the kernel by shape: [N] = per-row scales
+    (dequantize-then-max), [N/GROUP] = per-bucket scales (int32 max, then
+    dequantize the maxima -- the serving default, see quantize_pool)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -173,7 +244,10 @@ def bucket_max_scores_i8(
     N = pool_q.shape[0]
     assert N % CHUNK == 0, f"pool rows must be a multiple of {CHUNK}"
     n_chunks = N // CHUNK
+    n_buckets = n_chunks * 128
     valid = jnp.asarray([[N if valid_n is None else valid_n]], jnp.int32)
+    bucketed = pool_scale.shape[0] == n_buckets and n_buckets != N
+    assert pool_scale.shape[0] in (N, n_buckets), pool_scale.shape
 
     qf = queries.astype(jnp.float32)
     q_amax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
@@ -188,19 +262,19 @@ def bucket_max_scores_i8(
     n_q = q_q.shape[0] // qt
 
     out = pl.pallas_call(
-        _bucket_max_kernel_i8,
-        out_shape=jax.ShapeDtypeStruct((q_q.shape[0], n_chunks * 128), jnp.float32),
+        _bucket_max_kernel_i8b if bucketed else _bucket_max_kernel_i8,
+        out_shape=jax.ShapeDtypeStruct((q_q.shape[0], n_buckets), jnp.float32),
         grid=(n_chunks, n_q),
         in_specs=[
             pl.BlockSpec((qt, D), lambda i, qi: (qi, 0)),
             pl.BlockSpec((CHUNK, D), lambda i, qi: (i, 0)),
             pl.BlockSpec((qt, 1), lambda i, qi: (qi, 0)),
-            pl.BlockSpec((1, CHUNK), lambda i, qi: (0, i)),
+            pl.BlockSpec((1, 128 if bucketed else CHUNK), lambda i, qi: (0, i)),
             pl.BlockSpec((1, 1), lambda i, qi: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((qt, 128), lambda i, qi: (qi, i)),
         interpret=interpret,
-    )(q_q, pool_q, q_scale, pool_scale.reshape(1, N), valid)
+    )(q_q, pool_q, q_scale, pool_scale.reshape(1, -1), valid)
     return out[:Q]
 
 
@@ -220,7 +294,7 @@ def pallas_topk(
     valid_n: Optional[int] = None,
     interpret: bool = False,
     pool_quant: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    overfetch: int = 4,
+    overfetch: int = 2,
     with_guard: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Exact top-k inner-product search with the fused Pallas kernel.
@@ -231,13 +305,16 @@ def pallas_topk(
     `pool_quant=(pool_q, pool_scale)` (from `quantize_pool`) switches the
     bucket-max sweep -- the one pass over the full pool, where all the FLOPs
     are -- to the int8 MXU (2x the bf16 rate).  This path is APPROXIMATE in
-    a bounded sense: the int8 bucket maxima carry per-row quantization error,
-    so `overfetch * k` buckets are selected and their rows rescored EXACTLY
+    a bounded sense: the int8 bucket maxima carry quantization error, so
+    `overfetch * k` buckets are selected and their rows rescored EXACTLY
     against the bf16 `pool`.  The final ranking is exact w.r.t. bf16 scores
-    only if every true top-k row's bucket survives the widened cut --
-    overfetch=4 is validated empirically on Gaussian/real-embedding pools,
-    but a distribution whose score margins are flat relative to the
-    quantization error can silently lose recall.  `with_guard=True` appends a
+    only if every true top-k row's bucket survives the widened cut -- the
+    epilogue's top_k/rescore cost scales with overfetch (the phase isolation
+    in scripts/bench_topk_phases.py measured overfetch=4 giving back the
+    sweep's entire int8 win), and overfetch=2 passes the guard at rate 1.0
+    on Gaussian/real-embedding pools while overfetch=1 fails ~2/3 of
+    queries; a distribution whose score margins are flat relative to the
+    quantization error can silently lose recall at any overfetch.  `with_guard=True` appends a
     per-query bool `ok [Q]` to the return: the k-th exact rescored score
     clears the cut line (the k_sel-th selected int8 bucket maximum), i.e. no
     unexamined bucket could plausibly hold a true top-k row.  Callers that

@@ -64,7 +64,7 @@ def search_dense_index(
     assert pool_dtype in ("bf16", "int8"), pool_dtype
     pool_quant = None
     if use_pallas and pool_dtype == "int8":
-        pool_quant = quantize_pool(pool_dev)  # [N,D] int8 + [N] f32, on device
+        pool_quant = quantize_pool(pool_dev)  # [N,D] int8 + [N] f32 scales, on device
     n_guard, n_guard_ok, n_reruns = 0, 0, 0
 
     all_scores, all_idx = [], []
