@@ -169,7 +169,7 @@ def bench_retrieval(jax, jnp, on_tpu, n_pool=None, int8_pool=False):
     serving config retrieval/search.py engages under UNIIR_TOPK_POOL=int8:
     half the pool bytes, 2x MXU rate, exact rescore of the survivors) and
     returns (qps, guard_pass_rate) instead of a bare qps."""
-    from uniir_tpu.ops.topk_pallas import CHUNK, pallas_topk, quantize_pool
+    from uniir_tpu.ops.topk_pallas import CHUNK, PAD_ROWS, pallas_topk, quantize_pool
 
     if on_tpu:
         dim, n_q, k = 768, 256, 10
@@ -177,7 +177,7 @@ def bench_retrieval(jax, jnp, on_tpu, n_pool=None, int8_pool=False):
     else:
         n_pool, dim, n_q, k = 4 * CHUNK, 32, 16, 5
 
-    pad = (-n_pool) % CHUNK
+    pad = (-n_pool) % PAD_ROWS  # tallest DMA block multiple
     key = jax.random.PRNGKey(0)
     pool = jax.random.normal(key, (n_pool + pad, dim), jnp.bfloat16)
     queries = jax.random.normal(jax.random.PRNGKey(1), (n_q, dim), jnp.bfloat16)

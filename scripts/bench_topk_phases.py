@@ -238,7 +238,7 @@ def main():
     interp = not on_tpu
 
     n = args.rows
-    pad = (-n) % ((8 if args.phase5 else 4) * CHUNK)  # so the chunk-height variants divide
+    pad = (-n) % (8 * CHUNK)  # tallest DMA block multiple (16K), all chunk variants divide
     pool = jax.random.normal(jax.random.PRNGKey(0), (n + pad, args.dim), jnp.bfloat16)
     queries = jax.random.normal(jax.random.PRNGKey(1), (args.nq, args.dim), jnp.bfloat16)
     # only ONE int8 pool fits beside the 8.6 GB bf16 pool in 16 GB HBM:

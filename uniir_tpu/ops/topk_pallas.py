@@ -26,46 +26,93 @@ the chunked XLA path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 2048  # pool rows per grid step (VMEM: 2048 x 768 x 2B = 3 MB)
+CHUNK = 2048  # BUCKET granularity: rows per strided-bucket group (fixed)
 GROUP = CHUNK // 128  # bucket size (strided members)
 Q_TILE = 256  # query rows per grid step (keeps the fp32 score tile in VMEM)
 NEG = -3e38  # python float: jnp scalars cannot be captured by pallas kernels
 
+# DMA block heights: pool rows per GRID STEP, decoupled from the bucket
+# granularity (each block reduces its S = block/CHUNK sub-chunks to S*128
+# bucket maxima, so selection/rescore geometry and _bucket_rows never change
+# with the block height).  Chip matrix over THESE kernels
+# (scripts/bench_topk_blocks.py, 5.6M x 768 pool, 256 queries):
+#   bf16 sweep ms: 15.86 / 15.65 / 15.18 / 20.86 at 2048/4096/8192/16384
+#   int8 sweep ms: 10.15 / 10.64 /  9.47 / 11.06
+# 8192 wins both; 16384 regresses (the earlier 11.66-ms bf16 reading at
+# 16384 came from the EXPERIMENTAL coarse-bucket kernel in
+# bench_topk_phases.py --phase5, whose bucket granularity grows with the
+# block -- a different selection geometry, not comparable).  Blocks taller
+# than 2048 need more than the 16 MB default scoped-vmem budget, hence
+# VMEM_LIMIT_BYTES below.
+BLOCK_ROWS_BF16 = int(os.environ.get("UNIIR_TOPK_BLOCK_BF16", 8192))
+BLOCK_ROWS_I8 = int(os.environ.get("UNIIR_TOPK_BLOCK_I8", 8192))
+PAD_ROWS = max(BLOCK_ROWS_BF16, BLOCK_ROWS_I8, CHUNK)  # host-side pool padding multiple
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
-def _bucket_max_kernel(q_ref, pool_ref, valid_ref, out_ref):
-    from jax.experimental import pallas as pl
 
-    q = q_ref[...]  # [QT, D] bf16
-    chunk_rows = pool_ref[...]  # [CHUNK, D] bf16
-    scores = jax.lax.dot_general(
-        q, chunk_rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [QT, CHUNK] fp32
-    Q = scores.shape[0]
-    tiles = scores.reshape(Q, GROUP, 128)
-    # Padding-row masking (global row = i*CHUNK + m*128 + l) is only needed
-    # on chunks that straddle valid_n -- building the [Q, GROUP, 128] iotas
-    # and the where on every chunk is measurable VPU overhead across the
-    # ~2.7k-chunk sweep of the 5.6M pool, so interior chunks skip it.
-    base = pl.program_id(0) * CHUNK
-    valid = valid_ref[0, 0]
+def _pick_block_rows(n_rows: int, preferred: int) -> int:
+    """Largest block height <= preferred that divides the (padded) pool."""
+    b = max(preferred, CHUNK)
+    while b > CHUNK and n_rows % b:
+        b //= 2
+    return b
 
-    @pl.when(base + CHUNK > valid)
-    def _():
-        m_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 1)
-        l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
-        row = base + m_idx * 128 + l_idx
-        masked = jnp.where(row < valid, tiles, jnp.float32(NEG))
-        out_ref[...] = jnp.max(masked, axis=1)  # fp32 (bf16 would lose ties)
 
-    @pl.when(base + CHUNK <= valid)
-    def _():
-        out_ref[...] = jnp.max(tiles, axis=1)
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
+
+def _make_bucket_max_kernel(S: int):
+    """bf16 sweep kernel over S*CHUNK-row blocks.  Padding-row masking
+    (global row = base + s*CHUNK + m*128 + l) is only needed on the block
+    that straddles valid_n -- building the iotas and the where on every
+    block is measurable VPU overhead across the sweep, so interior blocks
+    skip it."""
+    block = S * CHUNK
+
+    def kernel(q_ref, pool_ref, valid_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        q = q_ref[...]  # [QT, D] bf16
+        rows = pool_ref[...]  # [block, D] bf16
+        scores = jax.lax.dot_general(
+            q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [QT, block] fp32
+        Q = scores.shape[0]
+        base = pl.program_id(0) * block
+        valid = valid_ref[0, 0]
+
+        # static per-sub-chunk loop with 128-lane slice writes: a single
+        # [Q, S, GROUP, 128] max + [Q, S, 128] -> [Q, S*128] reshape widens
+        # the minor (lane) dim and lowers to a relayout -- measured ~1.5 ms
+        # slower across the 5.6M sweep than S separate lane-native reduces
+        @pl.when(base + block > valid)
+        def _():
+            m_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+            l_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
+            for s in range(S):
+                tiles = scores[:, s * CHUNK : (s + 1) * CHUNK].reshape(Q, GROUP, 128)
+                row = base + s * CHUNK + m_idx * 128 + l_idx
+                masked = jnp.where((row < valid)[None], tiles, jnp.float32(NEG))
+                # fp32 maxima (bf16 would lose ties)
+                out_ref[:, s * 128 : (s + 1) * 128] = jnp.max(masked, axis=1)
+
+        @pl.when(base + block <= valid)
+        def _():
+            for s in range(S):
+                tiles = scores[:, s * CHUNK : (s + 1) * CHUNK].reshape(Q, GROUP, 128)
+                out_ref[:, s * 128 : (s + 1) * 128] = jnp.max(tiles, axis=1)
+
+    return kernel
 
 
 def bucket_max_scores(
@@ -73,11 +120,14 @@ def bucket_max_scores(
     pool: jnp.ndarray,
     valid_n: Optional[int] = None,
     interpret: bool = False,
+    block_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """[Q, D] x [N, D] -> strided-bucket score maxima [Q, N/GROUP] (fp32).
 
     N must be a multiple of CHUNK (pad the pool host-side; padding rows are
-    masked via valid_n).
+    masked via valid_n).  Blocks of `block_rows` (default BLOCK_ROWS_BF16,
+    clipped to the largest height dividing N) stream through VMEM per grid
+    step; bucket granularity is CHUNK regardless.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -85,7 +135,9 @@ def bucket_max_scores(
     Q, D = queries.shape
     N = pool.shape[0]
     assert N % CHUNK == 0, f"pool rows must be a multiple of {CHUNK}"
-    n_chunks = N // CHUNK
+    block = _pick_block_rows(N, block_rows or BLOCK_ROWS_BF16)
+    S = block // CHUNK
+    n_blocks = N // block
     valid = jnp.asarray([[N if valid_n is None else valid_n]], jnp.int32)
 
     # tile large query batches; pad to a Q_TILE multiple
@@ -97,48 +149,59 @@ def bucket_max_scores(
     n_q = q_in.shape[0] // qt
 
     out = pl.pallas_call(
-        _bucket_max_kernel,
-        out_shape=jax.ShapeDtypeStruct((q_in.shape[0], n_chunks * 128), jnp.float32),
-        # chunk outermost, q-tile innermost: the pool streams through HBM once
-        grid=(n_chunks, n_q),
+        _make_bucket_max_kernel(S),
+        out_shape=jax.ShapeDtypeStruct((q_in.shape[0], (N // CHUNK) * 128), jnp.float32),
+        # block outermost, q-tile innermost: the pool streams through HBM once
+        grid=(n_blocks, n_q),
         in_specs=[
             pl.BlockSpec((qt, D), lambda i, qi: (qi, 0)),
-            pl.BlockSpec((CHUNK, D), lambda i, qi: (i, 0)),
+            pl.BlockSpec((block, D), lambda i, qi: (i, 0)),
             pl.BlockSpec((1, 1), lambda i, qi: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((qt, 128), lambda i, qi: (qi, i)),
+        out_specs=pl.BlockSpec((qt, S * 128), lambda i, qi: (qi, i)),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(q_in, pool.astype(jnp.bfloat16), valid)
     return out[:Q]
 
 
-def _bucket_max_kernel_i8(q_ref, pool_ref, qs_ref, ps_ref, valid_ref, out_ref):
-    """int8 variant: int8 x int8 -> int32 on the MXU (2x the bf16 rate),
-    dequantized per-element before the bucket max."""
-    from jax.experimental import pallas as pl
+def _make_bucket_max_kernel_i8(S: int):
+    """int8 variant over S*CHUNK-row blocks: int8 x int8 -> int32 on the MXU
+    (2x the bf16 rate), dequantized per-element (per-row scales) before the
+    bucket max."""
+    block = S * CHUNK
 
-    q = q_ref[...]  # [QT, D] int8
-    chunk_rows = pool_ref[...]  # [CHUNK, D] int8
-    acc = jax.lax.dot_general(
-        q, chunk_rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    scores = acc.astype(jnp.float32) * qs_ref[...] * ps_ref[...]  # [QT, CHUNK]
-    Q = scores.shape[0]
-    tiles = scores.reshape(Q, GROUP, 128)
-    base = pl.program_id(0) * CHUNK
-    valid = valid_ref[0, 0]
+    def kernel(q_ref, pool_ref, qs_ref, ps_ref, valid_ref, out_ref):
+        from jax.experimental import pallas as pl
 
-    @pl.when(base + CHUNK > valid)
-    def _():
-        m_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 1)
-        l_idx = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP, 128), 2)
-        row = base + m_idx * 128 + l_idx
-        masked = jnp.where(row < valid, tiles, jnp.float32(NEG))
-        out_ref[...] = jnp.max(masked, axis=1)
+        q = q_ref[...]  # [QT, D] int8
+        rows = pool_ref[...]  # [block, D] int8
+        acc = jax.lax.dot_general(
+            q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        scores = acc.astype(jnp.float32) * qs_ref[...] * ps_ref[...]  # [QT, block]
+        Q = scores.shape[0]
+        base = pl.program_id(0) * block
+        valid = valid_ref[0, 0]
 
-    @pl.when(base + CHUNK <= valid)
-    def _():
-        out_ref[...] = jnp.max(tiles, axis=1)
+        # static per-sub-chunk loop (see the bf16 kernel note on relayouts)
+        @pl.when(base + block > valid)
+        def _():
+            m_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+            l_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
+            for s in range(S):
+                tiles = scores[:, s * CHUNK : (s + 1) * CHUNK].reshape(Q, GROUP, 128)
+                row = base + s * CHUNK + m_idx * 128 + l_idx
+                masked = jnp.where((row < valid)[None], tiles, jnp.float32(NEG))
+                out_ref[:, s * 128 : (s + 1) * 128] = jnp.max(masked, axis=1)
+
+        @pl.when(base + block <= valid)
+        def _():
+            for s in range(S):
+                tiles = scores[:, s * CHUNK : (s + 1) * CHUNK].reshape(Q, GROUP, 128)
+                out_ref[:, s * 128 : (s + 1) * 128] = jnp.max(tiles, axis=1)
+
+    return kernel
 
 
 @jax.jit
@@ -231,6 +294,7 @@ def bucket_max_scores_i8(
     pool_scale: jnp.ndarray,
     valid_n: Optional[int] = None,
     interpret: bool = False,
+    block_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """int8 phase-1: approximate strided-bucket maxima [Q, N/GROUP] (f32).
 
@@ -248,6 +312,11 @@ def bucket_max_scores_i8(
     valid = jnp.asarray([[N if valid_n is None else valid_n]], jnp.int32)
     bucketed = pool_scale.shape[0] == n_buckets and n_buckets != N
     assert pool_scale.shape[0] in (N, n_buckets), pool_scale.shape
+    # the bucketed (int32-max) variant keeps single-CHUNK blocks: it measured
+    # slower than per-row anyway and is kept only as a reference option
+    block = CHUNK if bucketed else _pick_block_rows(N, block_rows or BLOCK_ROWS_I8)
+    S = block // CHUNK
+    n_blocks = N // block
 
     qf = queries.astype(jnp.float32)
     q_amax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
@@ -262,18 +331,19 @@ def bucket_max_scores_i8(
     n_q = q_q.shape[0] // qt
 
     out = pl.pallas_call(
-        _bucket_max_kernel_i8b if bucketed else _bucket_max_kernel_i8,
+        _bucket_max_kernel_i8b if bucketed else _make_bucket_max_kernel_i8(S),
         out_shape=jax.ShapeDtypeStruct((q_q.shape[0], n_buckets), jnp.float32),
-        grid=(n_chunks, n_q),
+        grid=(n_blocks, n_q),
         in_specs=[
             pl.BlockSpec((qt, D), lambda i, qi: (qi, 0)),
-            pl.BlockSpec((CHUNK, D), lambda i, qi: (i, 0)),
+            pl.BlockSpec((block, D), lambda i, qi: (i, 0)),
             pl.BlockSpec((qt, 1), lambda i, qi: (qi, 0)),
-            pl.BlockSpec((1, 128 if bucketed else CHUNK), lambda i, qi: (0, i)),
+            pl.BlockSpec((1, 128 if bucketed else block), lambda i, qi: (0, i)),
             pl.BlockSpec((1, 1), lambda i, qi: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((qt, 128), lambda i, qi: (qi, i)),
+        out_specs=pl.BlockSpec((qt, S * 128), lambda i, qi: (qi, i)),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(q_q, pool_q, q_scale, pool_scale.reshape(1, -1), valid)
     return out[:Q]
 

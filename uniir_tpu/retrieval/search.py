@@ -15,7 +15,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from uniir_tpu.ops.topk import chunked_topk, pad_pool_for_chunks, shard_pool, sharded_topk
-from uniir_tpu.ops.topk_pallas import CHUNK as PALLAS_CHUNK, pallas_topk, quantize_pool
+from uniir_tpu.ops.topk_pallas import CHUNK as PALLAS_CHUNK, PAD_ROWS, pallas_topk, quantize_pool
 from uniir_tpu.retrieval.index import DenseIndex, normalize_l2
 
 
@@ -57,7 +57,8 @@ def search_dense_index(
     if multi_device:
         pool_dev = shard_pool(index.embeds, mesh)
     else:
-        pool_host = pad_pool_for_chunks(index.embeds, PALLAS_CHUNK if use_pallas else chunk)
+        # pad to the tallest DMA block height so the sweep can run tall blocks
+        pool_host = pad_pool_for_chunks(index.embeds, PAD_ROWS if use_pallas else chunk)
         pool_dev = jax.device_put(pool_host)
 
     pool_dtype = pool_dtype or os.environ.get("UNIIR_TOPK_POOL", "bf16")
