@@ -222,3 +222,29 @@ def test_text_tower_fused_matches_einsum():
     of = fused.apply({"params": params}, txt)
     op = plain.apply({"params": params}, txt)
     np.testing.assert_allclose(np.asarray(of, np.float32), np.asarray(op, np.float32), atol=3e-2)
+
+
+def test_paired_stack_bwd_kernel_matches_einsum_vjp():
+    """The fused Pallas backward (dq/dk/dv in VMEM, no [L,L] HBM tensors) ==
+    the einsum-VJP oracle, non-causal and causal, boundary and exact-multiple
+    L, f32 and bf16 primals."""
+    from uniir_tpu.ops.attention_pallas import _einsum_bwd, mha_paired_stack_bwd
+
+    rng = np.random.default_rng(23)
+    for B, L, H, D, causal, dt in [
+        (2, 29, 4, 64, False, np.float32),
+        (2, 21, 4, 64, True, np.float32),
+        (2, 32, 4, 64, False, np.float32),
+        (3, 13, 4, 8, True, np.float32),
+        (2, 29, 4, 64, False, jnp.bfloat16),
+    ]:
+        W = H * D
+        q, k, v, g = (jnp.asarray(rng.standard_normal((B, L, W)), dt) for _ in range(4))
+        scale = D**-0.5
+        got = mha_paired_stack_bwd(q, k, v, g, H, scale, interpret=True, causal=causal)
+        want = _einsum_bwd(q, k, v, g, H, scale, causal)
+        for a, b, name in zip(got, want, "qkv"):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            assert not np.isnan(a).any(), (L, causal, name)
+            np.testing.assert_allclose(a, b, atol=6e-2, err_msg=f"d{name} L={L} causal={causal}")

@@ -393,11 +393,146 @@ def _paired_fwd(q, k, v, heads, scale, interpret, causal):
 
 def _paired_bwd(heads, scale, interpret, causal, residuals, g):
     q, k, v = residuals
+    return mha_paired_stack_bwd(q, k, v, g, heads, scale, interpret=interpret, causal=causal)
+
+
+def _einsum_bwd(q, k, v, g, heads, scale, causal):
+    """einsum-VJP backward (the pre-round-4 default, kept as oracle/fallback).
+
+    Materializes ~5 [B, H, L, L] tensors in HBM per layer -- measured 123
+    ms/rep of the 375 ms batch-32 CLIP-L train step before the fused
+    backward kernel replaced it (scripts/profile_train.py, round 4)."""
     _, vjp_fn = jax.vjp(lambda q, k, v: _einsum_flat(q, k, v, heads, scale, causal), q, k, v)
     return vjp_fn(g)
 
 
 paired_attention.defvjp(_paired_fwd, _paired_bwd)
+
+
+def _paired_stack_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+    heads: int, head_dim: int, l_valid: int, scale: float, causal: bool, rows: int,
+):
+    """Fused backward of `_paired_stack_kernel` -- dq/dk/dv without ever
+    writing a score-shaped tensor to HBM.
+
+    Recomputes p = softmax(qcat @ k^T) in VMEM (flash-attention-backward
+    style, untiled since [2Lp, Lp] fits), then per head pair:
+
+      dv = p^T @ gcat            # contract the stacked 2Lp query rows
+      dp = gcat @ v^T            # [2Lp, Lp]
+      ds = p * (dp - rowsum(dp * p))
+      dq = scale * (half0 * (ds[:Lp] @ k) + half1 * (ds[Lp:] @ k))
+      dk = ds^T @ qcat           # qcat already carries scale + half masks
+
+    5 MXU matmuls per pair vs the forward's 2 -- the standard ~2.5x.
+
+    Boundary rows: UNLIKE the forward (where garbage query rows only produce
+    garbage output rows that the masked boundary write drops), the backward
+    CONTRACTS over query rows (dv, dk), so rows past l_valid in q/k/v/g must
+    all be select-zeroed or tile-padding NaNs poison valid gradients.  The
+    selects also guarantee ds columns past l_valid are exactly 0 before the
+    ds @ k contraction (0 * NaN = NaN otherwise)."""
+    Lp = q_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
+    half0 = (lane < head_dim).astype(jnp.bfloat16)
+    half1 = jnp.bfloat16(1) - half0
+    half0s = half0 * jnp.bfloat16(scale)
+    half1s = half1 * jnp.bfloat16(scale)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 0)
+    rkeep = rowv < l_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (2 * Lp, Lp), 1)
+    colmask = col < l_valid
+    if causal:
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (2 * Lp, Lp), 0) % Lp
+        colmask = jnp.logical_and(colmask, col <= qrow)
+
+    zero = jnp.bfloat16(0)
+    for r in range(rows):
+        for hp in range(heads // 2):
+            sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
+            q2 = jnp.where(rkeep, q_ref[r, :, sl], zero)  # [Lp, 128]
+            k2 = jnp.where(rkeep, k_ref[r, :, sl], zero)
+            v2 = jnp.where(rkeep, v_ref[r, :, sl], zero)
+            g2 = jnp.where(rkeep, g_ref[r, :, sl], zero)
+            qcat = jnp.concatenate([q2 * half0s, q2 * half1s], axis=0)  # [2Lp, 128]
+            gcat = jnp.concatenate([g2 * half0, g2 * half1], axis=0)
+            s = jax.lax.dot_general(
+                qcat, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [2Lp, Lp]
+            s = jnp.where(colmask, s, jnp.float32(NEG))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32, rows sum to 1
+            pb = p.astype(jnp.bfloat16)
+            # dv: contract the stacked query-row axis of p against gcat
+            dv = jax.lax.dot_general(
+                pb, gcat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [Lp, 128]; half0 lanes from the top rows, half1 from the bottom
+            dp = jax.lax.dot_general(
+                gcat, v2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [2Lp, Lp]
+            ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(jnp.bfloat16)
+            dqcat = jax.lax.dot_general(
+                ds, k2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [2Lp, 128], full-width; halves selected below
+            dq = (dqcat[:Lp] * half0 + dqcat[Lp:] * half1) * scale
+            dk = jax.lax.dot_general(
+                ds, qcat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [Lp, 128]; qcat's half masks + scale already applied
+            dq_ref[r, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[r, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[r, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def mha_paired_stack_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    g: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    causal: bool = False,
+    rows: int = 1,
+):
+    """(dq, dk, dv) for `mha_paired_stack` over [B, L, H*D] tensors.
+
+    Same block contract as the forward (masked ceil8 boundary blocks, no
+    relayouts).  Replaces the einsum-VJP backward that materialized
+    [B, H, L, L] tensors in HBM -- the dominant cost of the train step at
+    CLIP-L shapes (95 ms/rep of score-shaped fusions + 28 ms of reductions
+    at batch 32, scripts/profile_train.py)."""
+    from jax.experimental import pallas as pl
+
+    B, L, W = q.shape
+    head_dim = W // heads
+    assert heads % 2 == 0 and head_dim * heads == W
+    scale = head_dim**-0.5 if scale is None else scale
+    while B % rows:
+        rows //= 2
+    Lp = -(-L // 8) * 8
+
+    kernel = functools.partial(
+        _paired_stack_bwd_kernel,
+        heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal, rows=rows,
+    )
+    spec = pl.BlockSpec((rows, Lp, W), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct((B, L, W), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(B // rows,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        g.astype(jnp.bfloat16),
+    )
+    return dq, dk, dv
 
 
 def paired_attention_supported(heads: int, width: int, on_tpu: bool) -> bool:
