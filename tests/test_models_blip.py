@@ -210,6 +210,94 @@ def test_blip_train_step_queue_and_momentum(mesh8, blip_sf):
     assert 0.001 <= float(state.params["temp"]) <= 0.5
 
 
+def _cross_leaves(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        path: np.asarray(v).copy()
+        for path, v in flat
+        if any("crossattention" in str(getattr(k, "key", k)) for k in path)
+    }
+
+
+def test_blip_sf_structural_crossattention_freeze(blip_sf):
+    """BLIP-SF freezes cross-attention (reference blip_sf.py:75-78).
+
+    In this rebuild the PRIMARY freeze is structural: mode="text" never
+    traces the crossattention branch, so Flax init never creates those
+    params, and convert_blip_sf_params drops them from published
+    checkpoints (models/convert.py:310-313).  Frozen + never-read params
+    affect nothing; omitting them saves 12 layers of dead weights in HBM,
+    optimizer state, and checkpoints."""
+    _, params = blip_sf
+    assert _cross_leaves(params) == {}
+
+
+def test_blip_freeze_mask_protects_grafted_crossattention(mesh8, blip_sf):
+    """Optimizer-mask freeze for trees that DO carry crossattention params.
+
+    A tree converted with include_cross_attention=True (convert_med_bert's
+    default) carries the frozen subtree; torch `requires_grad=False` means
+    AdamW neither steps NOR decays it.  The optax equivalent is routing the
+    subtree to set_to_zero via freeze_path_sub -- a bare decay mask is NOT
+    enough, because optax.adamw still applies weight decay to zero-grad
+    leaves, silently decaying the frozen pretrained weights toward zero.
+    Assert the frozen subtree is bit-identical after real train steps while
+    the rest of the model moves, the momentum twin's cross-attention stays
+    at its init values (EMA of an unchanged target), and that WITHOUT the
+    mask the subtree decays (the exact corruption the mask prevents)."""
+    from uniir_tpu.models.med import MedBertModel
+
+    model, params = blip_sf
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    # graft a crossattention subtree, as a checkpoint converted with
+    # include_cross_attention=True would carry
+    med = MedBertModel(MED, add_pooling_layer=False)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(4, MED.vocab_size - 1, size=(2, 12)).astype(np.int32)
+    attn = np.ones((2, 12), np.int32)
+    enc = rng.normal(size=(2, 5, MED.encoder_width)).astype(np.float32)
+    mp = med.init(jax.random.PRNGKey(1), ids, attn, enc, None, "multimodal")["params"]
+    for i in range(MED.num_hidden_layers):
+        layer = dict(params["text_encoder"][f"layer_{i}"])
+        layer["crossattention"] = jax.tree_util.tree_map(jnp.copy, mp[f"layer_{i}"]["crossattention"])
+        params["text_encoder"][f"layer_{i}"] = layer
+
+    # snapshot BEFORE stepping: the jitted step donates state buffers, so
+    # the original param arrays are deleted after the first step
+    params_copy = jax.tree_util.tree_map(jnp.copy, params)
+    vp_before = np.asarray(params["vision_proj"]["kernel"]).copy()
+    before = _cross_leaves(params)
+    assert before, "graft failed: crossattention subtree missing"
+
+    tx = make_blip_optimizer(
+        params, 1e-3, total_steps=20, weight_decay=0.05, freeze_path_sub="crossattention"
+    )
+    state = MomentumTrainState.create(params, tx, queue_size=16, embed_dim=DIM)
+
+    step = make_blip_train_step(model, mesh=mesh8, with_dropout=False)
+    for _ in range(3):
+        state, m = step(state, shard_batch(mesh8, make_batch(rng, bs=8)), jnp.asarray(0.4))
+    assert np.isfinite(float(m["loss"]))
+
+    after = _cross_leaves(state.params)
+    after_m = _cross_leaves(state.params_m)
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=f"online {k} moved")
+        # momentum EMA of an unchanged target: pm*m + p*(1-m) with pm == p
+        # drifts at most ~1 ulp/step in fp32, never materially
+        np.testing.assert_allclose(before[k], after_m[k], rtol=1e-6, atol=1e-7)
+    # sanity: the non-frozen params actually trained
+    assert not np.allclose(vp_before, np.asarray(state.params["vision_proj"]["kernel"]))
+
+    # counterfactual: WITHOUT the freeze, adamw decays the zero-grad subtree
+    tx_bad = make_blip_optimizer(params_copy, 1e-3, total_steps=20, weight_decay=0.05)
+    state_bad = MomentumTrainState.create(params_copy, tx_bad, queue_size=16, embed_dim=DIM)
+    state_bad, _ = step(state_bad, shard_batch(mesh8, make_batch(rng, bs=8)), jnp.asarray(0.4))
+    after_bad = _cross_leaves(state_bad.params)
+    changed = any(not np.array_equal(before[k], after_bad[k]) for k in before)
+    assert changed, "expected unmasked adamw to decay the zero-grad crossattention subtree"
+
+
 def test_blip_eval_step(blip_sf):
     model, params = blip_sf
     tx = make_blip_optimizer(params, 1e-3, total_steps=10)

@@ -8,9 +8,12 @@ in `uniir_tpu.train.losses`): the module itself is a pure embedding function
 applied with either the online or the momentum params.
 
 The learned temperature is a param clamped to [0.001, 0.5] inside the train
-step (reference :188-189).  Cross-attention params exist but are frozen via
-an optimizer mask (reference freeze_text_encoder_crossattention :75-78) --
-MED config keeps add_cross_attention=True so published weights map 1:1.
+step (reference :188-189).  Cross-attention params exist but are frozen:
+`make_blip_optimizer(freeze_path_sub="crossattention")` routes the whole
+crossattention subtree to `optax.set_to_zero()` (no step, no weight decay --
+matching torch AdamW's no-grad semantics for the reference's
+freeze_text_encoder_crossattention, blip_sf.py:75-78).  MED config keeps
+add_cross_attention=True so published weights map 1:1.
 """
 
 from __future__ import annotations

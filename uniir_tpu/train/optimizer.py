@@ -85,10 +85,29 @@ def make_blip_optimizer(
     weight_decay: float = 0.05,
     warmup_steps: int = 0,
     accumulation_steps: int = 1,
+    freeze_path_sub: Optional[str] = None,
 ) -> optax.GradientTransformation:
-    """BLIP: single AdamW group, wd 0.05 (reference uniir_blip/train.py:192-197)."""
+    """BLIP: single AdamW group, wd 0.05 (reference uniir_blip/train.py:192-197).
+
+    `freeze_path_sub` routes every param whose path contains the substring to
+    `optax.set_to_zero()` -- BLIP-SF passes "crossattention" to reproduce the
+    reference's `requires_grad=False` freeze (reference
+    blip_scorefusion/blip_sf.py:75-78).  torch AdamW never touches a no-grad
+    param (no `.grad` => no step AND no decay), so the frozen subtree must be
+    excluded from the adamw transform entirely: a bare decay mask is not
+    enough, because optax.adamw still applies weight decay to zero-grad
+    leaves, silently decaying the frozen pretrained weights toward zero.
+    """
     sched = cosine_schedule(learning_rate, total_steps, warmup_steps)
-    tx = optax.adamw(learning_rate=sched, weight_decay=weight_decay)
+    adamw = optax.adamw(learning_rate=sched, weight_decay=weight_decay)
+    if freeze_path_sub is not None:
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen" if _name_matches(path, (freeze_path_sub,)) else "train",
+            params,
+        )
+        tx = optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
+    else:
+        tx = adamw
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx

@@ -123,6 +123,10 @@ def build_train_setup(config, mesh=None, bundle=None):
             weight_decay=float(getattr(trainer_config, "weight_decay", 0.05)),
             warmup_steps=warmup,
             accumulation_steps=accum,
+            # BLIP-SF freezes the (unused in mode="text") cross-attention
+            # params (reference blip_sf.py:75-78); BLIP-FF trains them --
+            # cross-attention IS its fusion mechanism.
+            freeze_path_sub="crossattention" if model_name == "BLIPScoreFusion" else None,
         )
         state = MomentumTrainState.create(
             bundle.params,
