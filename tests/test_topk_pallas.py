@@ -143,7 +143,8 @@ def test_mha_paired_masked_boundary_blocks():
 
 def test_paired_attention_in_model_and_grads():
     """Fused paired attention inside the vision tower (bf16): forward matches
-    the einsum path and gradients flow (custom VJP through einsum)."""
+    the einsum path and gradients flow (custom VJP through the fused bf16
+    Pallas backward; _einsum_bwd is the retained oracle/fallback)."""
     from uniir_tpu.models.clip import CLIP_CONFIGS, CLIPVisionTower
 
     cfg = CLIP_CONFIGS["test-tiny"]
@@ -172,7 +173,7 @@ def test_paired_attention_in_model_and_grads():
     g2 = jax.grad(loss_plain)(params)
     a = np.concatenate([np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(g)])
     b = np.concatenate([np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(g2)])
-    # backward recomputes through einsum -> gradients agree to bf16 noise
+    # fused bf16 backward vs einsum VJP -> gradients agree to bf16 noise
     np.testing.assert_allclose(a, b, atol=0.6, rtol=0.2)
 
 

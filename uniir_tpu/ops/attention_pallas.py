@@ -380,9 +380,19 @@ def paired_attention(q, k, v, heads: int, scale: float, interpret: bool = False,
     """Differentiable fused attention over [B, L, H*D].
 
     Forward runs the row-stacked paired-head Pallas kernel (3.4x the einsum
-    / 1.25x the round-2 two-pass kernel on v5e at ViT-L shapes); backward
-    recomputes through the einsum formulation -- exactly the gradients the
-    einsum path would produce.
+    / 1.25x the round-2 two-pass kernel on v5e at ViT-L shapes).  Backward
+    defaults to the fused Pallas kernel (`mha_paired_stack_bwd`): it
+    recomputes softmax in VMEM flash-style and never writes a score-shaped
+    [B, H, L, L] tensor to HBM.
+
+    PRECISION: the fused backward runs its matmuls in bf16 with fp32
+    accumulation (the incoming cotangent is cast to bf16 too), whereas the
+    einsum VJP accumulated through fp32 tensors -- gradients match the
+    einsum oracle to ~6e-2 abs on N(0,1) inputs at CLIP-L shapes
+    (tests/test_topk_pallas.py), which is in line with bf16 rounding of
+    O(1) values.  Set UNIIR_ATTN_BWD=einsum to fall back to the fp32
+    einsum-VJP backward (`_einsum_bwd`, the retained oracle) if training
+    quality ever regresses; the choice is read at trace time.
     """
     return mha_paired_stack(q, k, v, heads, scale, interpret=interpret, causal=causal)
 
@@ -392,7 +402,11 @@ def _paired_fwd(q, k, v, heads, scale, interpret, causal):
 
 
 def _paired_bwd(heads, scale, interpret, causal, residuals, g):
+    import os
+
     q, k, v = residuals
+    if os.environ.get("UNIIR_ATTN_BWD", "pallas") == "einsum":
+        return _einsum_bwd(q, k, v, g, heads, scale, causal)
     return mha_paired_stack_bwd(q, k, v, g, heads, scale, interpret=interpret, causal=causal)
 
 
@@ -518,10 +532,14 @@ def mha_paired_stack_bwd(
         heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal, rows=rows,
     )
     spec = pl.BlockSpec((rows, Lp, W), lambda i: (i, 0, 0))
-    shape = jax.ShapeDtypeStruct((B, L, W), q.dtype)
+    # cotangent dtypes must match the primal inputs' dtypes under custom_vjp:
+    # dq/dk/dv each take their own input's dtype (q/k/v are uniformly bf16
+    # today via layers.py, but a mixed-dtype caller would otherwise hit a
+    # cotangent dtype mismatch error)
+    shapes = tuple(jax.ShapeDtypeStruct((B, L, W), a.dtype) for a in (q, k, v))
     dq, dk, dv = pl.pallas_call(
         kernel,
-        out_shape=(shape, shape, shape),
+        out_shape=shapes,
         grid=(B // rows,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
