@@ -106,6 +106,18 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def barrier(name: str) -> None:
+    """Cross-process barrier at filesystem boundaries (reference
+    dist.barrier discipline, mbeir_embedder.py:79-116, train.py:167).
+
+    No-op on single-process runs; on pods every process must call it with
+    the same `name` or the sync deadlocks."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-host init (reference init_distributed_mode, dist_utils.py:62-91).
 

@@ -233,7 +233,15 @@ def get_raw_retrieved_candidates(
 
 
 def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) -> List[dict]:
-    """Full retrieval sweep driven by retrieval.yaml (reference run_retrieval :312-603)."""
+    """Full retrieval sweep driven by retrieval.yaml (reference run_retrieval :312-603).
+
+    Pod-safe: every process runs the (possibly mesh-sharded) searches, but
+    only process 0 writes run files / retrieved jsonl / TSV (the reference's
+    rank-0 discipline), with a barrier before returning so non-main
+    processes cannot race ahead of the artifacts."""
+    from uniir_tpu.core.mesh import barrier, is_main_process
+
+    main_proc = is_main_process()
     uniir_dir = config.uniir_dir
     mbeir_data_dir = config.mbeir_data_dir
     retrieval_config = config.retrieval_config
@@ -247,9 +255,10 @@ def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) ->
     exp_run_file_dir = os.path.join(exp_results_dir, "run_files")
     exp_tsv_results_dir = os.path.join(exp_results_dir, "final_tsv")
     exp_retrieved_cands_dir = os.path.join(exp_results_dir, "retrieved_candidates")
-    os.makedirs(exp_run_file_dir, exist_ok=True)
-    os.makedirs(exp_tsv_results_dir, exist_ok=True)
-    os.makedirs(exp_retrieved_cands_dir, exist_ok=True)
+    if main_proc:
+        os.makedirs(exp_run_file_dir, exist_ok=True)
+        os.makedirs(exp_tsv_results_dir, exist_ok=True)
+        os.makedirs(exp_retrieved_cands_dir, exist_ok=True)
 
     splits = []
     for split_name in ("train", "val", "test"):
@@ -308,8 +317,9 @@ def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) ->
             pool_kind = "union_pool" if cand_pool_name == "union" else "single_pool"
             run_id = f"mbeir_{dataset_name}_{pool_kind}_{split}_k{k}"
             run_file_path = os.path.join(exp_run_file_dir, f"{run_id}_run.txt")
-            write_run_file(run_file_path, retrieved_dist, retrieved_indices, hashed_query_ids, qid_to_taskid, run_id)
-            print(f"Retriever: Run file saved to {run_file_path}")
+            if main_proc:
+                write_run_file(run_file_path, retrieved_dist, retrieved_indices, hashed_query_ids, qid_to_taskid, run_id)
+                print(f"Retriever: Run file saved to {run_file_path}")
 
             # Raw retrieved candidates for UniRAG (reference :446-473)
             if getattr(retrieval_config, "raw_retrieval", False):
@@ -338,11 +348,12 @@ def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) ->
                     queries_path, candidates_path, retrieved_indices, hashed_query_ids, complement_retriever
                 )
                 retrieved_file_path = os.path.join(exp_retrieved_cands_dir, f"{run_id}_retrieved.jsonl")
-                with open(retrieved_file_path, "w") as rf:
-                    for _, v in retrieved_dict.items():
-                        _json.dump(v, rf)
-                        rf.write("\n")
-                print(f"Retriever: Retrieved file saved to {retrieved_file_path}")
+                if main_proc:
+                    with open(retrieved_file_path, "w") as rf:
+                        for _, v in retrieved_dict.items():
+                            _json.dump(v, rf)
+                            rf.write("\n")
+                    print(f"Retriever: Retrieved file saved to {retrieved_file_path}")
 
             per_task = evaluate_recall(retrieved_indices, hashed_query_ids, qrel, qid_to_taskid, metric_recall_list)
             for task_id, metrics in per_task.items():
@@ -356,9 +367,10 @@ def run_retrieval(config, mesh=None, query_embedder_config=None, bundle=None) ->
                 result.update(metrics)
                 eval_results.append(result)
 
-    if retrieval_config.write_to_tsv:
+    if retrieval_config.write_to_tsv and main_proc:
         date_time = datetime.now().strftime("%m-%d-%H")
         tsv_file_path = os.path.join(exp_tsv_results_dir, f"eval_results_{date_time}.tsv")
         write_tsv_report(eval_results, tsv_file_path)
 
+    barrier("run_retrieval_done")
     return eval_results

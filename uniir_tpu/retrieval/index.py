@@ -61,7 +61,17 @@ def create_index(config) -> list:
 
     Reads `mbeir_{pool}_cand_pool_embed.npy` + `_ids.npy` written by the
     embedder, L2-normalizes, and writes `mbeir_{pool}_cand_pool.index`.
+
+    Pod-safe: pure host-side numpy, so only process 0 builds and writes
+    (every process would otherwise write the same files -- the reference's
+    rank-0 discipline, mbeir_embedder.py:79-116); everyone then syncs at the
+    barrier before downstream stages read the index files.
     """
+    from uniir_tpu.core.mesh import barrier, is_main_process
+
+    if not is_main_process():
+        barrier("create_index_done")
+        return []
     uniir_dir = config.uniir_dir
     index_config = config.index_config
     embed_dir_name = index_config.embed_dir_name
@@ -94,4 +104,5 @@ def create_index(config) -> list:
         print(f"Successfully indexed {index.ntotal} documents")
         print(f"Index saved to: {index_path}")
         written.append(index_path)
+    barrier("create_index_done")
     return written
