@@ -12,7 +12,7 @@ import jax
 import numpy as np
 import pytest
 
-from tests.helpers import make_eval_config
+from tests.helpers import make_eval_config  # noqa: F401
 from uniir_tpu.core.config import Config
 from uniir_tpu.models.clip import CLIP_CONFIGS
 from uniir_tpu.models.clip_sf import CLIPScoreFusion
@@ -117,3 +117,52 @@ def test_embed_pipeline_with_int8_bundle(pipeline_root, bundle):
     assert e_q.shape == e_f.shape
     cos = np.sum(e_q * e_f, -1) / (np.linalg.norm(e_q, axis=-1) * np.linalg.norm(e_f, axis=-1) + 1e-9)
     assert cos.min() > 0.98, cos.min()
+
+
+def test_non_main_process_writes_nothing(pipeline_root, bundle, monkeypatch, tmp_path):
+    """Pod-safe rank discipline (reference mbeir_embedder.py:79-116,
+    train.py:140-151): on a multi-process run only process 0 writes the
+    index files, run files, retrieved jsonl, and TSV.  Simulate rank 1 by
+    monkeypatching is_main_process; create_index/run_retrieval import it
+    from core.mesh at call time, so patching the module attribute suffices.
+    The barrier must also be exercised (as a no-op here: process_count==1
+    in tests, and sync_global_devices on one process returns immediately)."""
+    import shutil
+
+    import uniir_tpu.core.mesh as mesh_mod
+
+    # fresh root, RAW inputs only: copying derived dirs (index/, results/)
+    # from pipeline_root would carry rank-0 leftovers from other tests that
+    # mask a missing-write assertion
+    root = str(tmp_path / "rank1")
+    os.makedirs(root)
+    shutil.copytree(
+        os.path.join(pipeline_root, "mbeir_data"), os.path.join(root, "mbeir_data")
+    )
+    config = make_eval_config(root)
+    expt = config.experiment.path_suffix
+
+    # rank 0 embeds (the embedder's own part-file discipline is covered by
+    # test_multihost.py); then wipe downstream dirs and replay as rank 1
+    generate_embeds_for_config(bundle, config)
+
+    monkeypatch.setattr(mesh_mod, "is_main_process", lambda: False)
+    index_paths = create_index(config)
+    assert index_paths == []
+    index_dir = os.path.join(root, "index")
+    assert not os.path.exists(index_dir) or not any(
+        f.endswith(".index") for _, _, fs in os.walk(index_dir) for f in fs
+    )
+
+    # rank 0 builds the index so rank 1's retrieval has inputs to read
+    monkeypatch.setattr(mesh_mod, "is_main_process", lambda: True)
+    assert len(create_index(config)) == 2
+
+    monkeypatch.setattr(mesh_mod, "is_main_process", lambda: False)
+    results = run_retrieval(config)
+    assert results, "rank 1 must still compute results (metrics are global)"
+    results_dir = os.path.join(root, "retrieval_results", expt)
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(results_dir) for f in fs
+    ]
+    assert written == [], f"rank 1 wrote files: {written}"
