@@ -215,6 +215,14 @@ def retrieval_yaml(mkey: str, size: str, unirag: bool = False):
             "hard_negs_dir_name": "hard_negs",
             "num_hard_negs": 10,
             "k": 50,
+            # int8-pool sweep is the serving default: ~25% faster end-to-end
+            # than the bf16 sweep on v5e (15.08 vs 18.98 ms / 256 queries
+            # over the 5.6M pool, docs/PERFORMANCE.md round 4 item 4) and
+            # unconditionally exact -- every batch runs the certainty guard
+            # and a guarded miss transparently re-runs on the bf16 path
+            # (retrieval/search.py:34-43).  Only engages on-TPU,
+            # single-device, pools > 1 DMA chunk; ignored elsewhere.
+            "pool_dtype": "int8",
             "train_datasets_config": {"enable_retrieve": False, "datasets_name": None, "correspond_cand_pools_name": None, "correspond_qrels_name": None, "correspond_metrics_name": None},
             "val_datasets_config": {"enable_retrieve": False, "datasets_name": None, "correspond_cand_pools_name": None, "correspond_qrels_name": None, "correspond_metrics_name": None},
             "test_datasets_config": {
@@ -284,19 +292,38 @@ python -m uniir_tpu.tools.pipeline \\
 """
 
 RUN_UNIRAG = """#!/bin/bash
-# UniRAG raw retrieval for {model_name}: dump {{query, candidates}} jsonl with
-# complement (image,text) pairs for RAG consumers.
+# UniRAG eval pipeline for {model_name}: embed -> index -> raw retrieval dump of
+# {{query, candidates}} jsonl with complement (image,text) pairs for RAG
+# consumers (reference large/eval/unirag/run_eval_pipeline_unirag.sh).
+# Uses the local unirag embed/index archetypes (inbatch configs pinned to
+# Instruct/UniRAG); instruct status is forced on, as in the reference.
 set -e
 REPO="$(cd "$(dirname "$0")/../../../../.." && pwd)"
 UNIIR_DIR="${{UNIIR_DIR:-/data/UniIR}}"
 MBEIR_DATA_DIR="${{MBEIR_DATA_DIR:-/data/UniIR/mbeir_data}}"
 CONFIG_DIR="$(cd "$(dirname "$0")" && pwd)"
-EMBED_CONFIG="$CONFIG_DIR/../inbatch/embed.yaml"
 export PYTHONPATH="$REPO:$PYTHONPATH"
+
+for Y in embed.yaml index.yaml retrieval.yaml; do
+  python -m uniir_tpu.tools.config_updater \\
+      --update_mbeir_yaml_instruct_status \\
+      --mbeir_yaml_file_path "$CONFIG_DIR/$Y" \\
+      --enable_instruct True
+done
+
+python -m uniir_tpu.tools.pipeline \\
+    --config_path "$CONFIG_DIR/embed.yaml" \\
+    --uniir_dir "$UNIIR_DIR" --mbeir_data_dir "$MBEIR_DATA_DIR" \\
+    --enable_embed
+
+python -m uniir_tpu.tools.pipeline \\
+    --config_path "$CONFIG_DIR/index.yaml" \\
+    --uniir_dir "$UNIIR_DIR" --mbeir_data_dir "$MBEIR_DATA_DIR" \\
+    --enable_create_index
 
 python -m uniir_tpu.tools.pipeline \\
     --config_path "$CONFIG_DIR/retrieval.yaml" \\
-    --query_embedder_config_path "$EMBED_CONFIG" \\
+    --query_embedder_config_path "$CONFIG_DIR/embed.yaml" \\
     --uniir_dir "$UNIIR_DIR" --mbeir_data_dir "$MBEIR_DATA_DIR" \\
     --enable_retrieval
 """
