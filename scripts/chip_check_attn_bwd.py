@@ -95,17 +95,26 @@ def check_train_ab(jax, jnp, np, on_tpu, steps):
     }
 
     def run(mode):
+        # scan the raw step inside ONE jit and fetch the loss trace once:
+        # per-step host fetches cost ~53 s each on this rig's remote relay
+        # (see bench.py's amortized-scan rationale)
         os.environ["UNIIR_ATTN_BWD"] = mode
         try:
             params = model.init(jax.random.PRNGKey(0), txt[:2], img[:2], mask[:2], mask[:2])["params"]
             tx = make_clip_optimizer(params, learning_rate=1e-4, total_steps=100)
             state = TrainState.create(params=params, tx=tx)
-            step = make_clip_train_step(model)
-            losses = []
-            for _ in range(steps):
-                state, m = step(state, batch)
-                losses.append(float(m["loss"]))
-            return losses
+            raw_step = make_clip_train_step(model, jit=False)
+
+            @jax.jit
+            def run_steps(state, batch):
+                def body(st, _):
+                    st2, m = raw_step(st, batch)
+                    return st2, m["loss"]
+
+                _, losses = jax.lax.scan(body, state, None, length=steps)
+                return losses
+
+            return [float(x) for x in np.asarray(run_steps(state, batch), np.float32)]
         finally:
             os.environ.pop("UNIIR_ATTN_BWD", None)
         return None
