@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uniir_tpu.ops.topk import topk_numpy_reference
 from uniir_tpu.ops.topk_pallas import CHUNK, GROUP, _bucket_rows, bucket_max_scores, pallas_topk
@@ -223,6 +224,31 @@ def test_text_tower_fused_matches_einsum():
     of = fused.apply({"params": params}, txt)
     op = plain.apply({"params": params}, txt)
     np.testing.assert_allclose(np.asarray(of, np.float32), np.asarray(op, np.float32), atol=3e-2)
+
+
+def test_paired_stack_bwd_compiled_path_tpu():
+    """Compiled (non-interpret) backward kernel smoke at a CLIP-L train shape:
+    finite grads matching the einsum-VJP oracle.  Mosaic interpret-mode passes
+    do not guarantee the compiled kernel lowers or that its numerics hold, so
+    this must run on a real chip -- conftest pins the suite to CPU, so under
+    pytest it standing-skips; the canonical on-chip runner is
+    scripts/chip_check_attn_bwd.py (committed evidence:
+    docs/chip_check_attn_bwd_r05.txt, 2026-08-19, ALL PASS)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("compiled-path smoke needs a real TPU (see chip_check_attn_bwd.py)")
+    from uniir_tpu.ops.attention_pallas import _einsum_bwd, mha_paired_stack_bwd
+
+    rng = np.random.default_rng(7)
+    B, L, H, D = 8, 257, 16, 64
+    q, k, v, g = (jnp.asarray(rng.standard_normal((B, L, H * D)), jnp.bfloat16) for _ in range(4))
+    got = mha_paired_stack_bwd(q, k, v, g, H, D**-0.5, interpret=False, causal=False)
+    want = _einsum_bwd(q, k, v, g, H, D**-0.5, False)
+    for a, b, name in zip(got, want, "qkv"):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.isfinite(a).all(), name
+        np.testing.assert_allclose(a, b, atol=6e-2, err_msg=f"d{name} compiled path")
 
 
 def test_paired_stack_bwd_kernel_matches_einsum_vjp():
