@@ -129,3 +129,36 @@ def test_quant_dense_columns_match_full():
     for lo, hi in [(0, W), (W, 2 * W), (2 * W, 3 * W), (W, 3 * W)]:
         part = dense.apply({"params": params}, x, columns=(lo, hi))
         np.testing.assert_allclose(np.asarray(part), np.asarray(full[..., lo:hi]), rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_tree_jax_matches_host():
+    """quantize_tree_jax (the device-side path bench.py jits -- params never
+    leave the accelerator) produces the same structure AND bit-identical int8
+    kernels/scales as the host quantize_tree."""
+    import jax
+
+    from uniir_tpu.ops.quant import quantize_tree, quantize_tree_jax
+
+    rng = np.random.default_rng(7)
+    params = {
+        "blk": {
+            "proj": {
+                "kernel": rng.normal(size=(16, 24)).astype(np.float32),
+                "bias": rng.normal(size=(24,)).astype(np.float32),
+            },
+            "ln": {"scale": np.ones((16,), np.float32), "bias": np.zeros((16,), np.float32)},
+            "mlp": {
+                "fc1": {"kernel": rng.normal(size=(16, 64)).astype(np.float32)},
+                "fc2": {"kernel": rng.normal(size=(64, 16)).astype(np.float32)},
+            },
+        },
+        "embedding": rng.normal(size=(10, 16)).astype(np.float32),  # non-Dense leaf passes through
+    }
+    scales = {("blk", "mlp"): np.array([0.01, 0.02], np.float32)}
+    host = quantize_tree(params, act_scales=dict(scales))
+    dev = jax.device_get(jax.jit(lambda p: quantize_tree_jax(p, act_scales=dict(scales)))(params))
+    assert jax.tree_util.tree_structure(host) == jax.tree_util.tree_structure(dev)
+    for (kp, h), (_, d) in zip(
+        jax.tree_util.tree_flatten_with_path(host)[0], jax.tree_util.tree_flatten_with_path(dev)[0]
+    ):
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(d), err_msg=str(kp))

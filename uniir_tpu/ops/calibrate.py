@@ -58,7 +58,9 @@ _ACTS: Dict[str, Callable] = {
 
 
 def _amax(x) -> float:
-    return float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    # host-side numpy on purpose: the inputs are device_get scalars, and a
+    # jnp op here would round-trip the remote-TPU relay once per leaf
+    return float(np.max(np.abs(np.asarray(x, np.float32))))
 
 
 def calibrate_act_scales(
@@ -100,9 +102,42 @@ def calibrate_act_scales(
     SOWS = ("attn_pre_out", "q_in", "kv_in", "ffn_in", "ffn_hid")
     sow_amax: Dict[Tuple, Dict[str, float]] = {}
 
+    # The probe forward runs JITTED with the per-leaf |.|-max reduction done
+    # IN-GRAPH (one program, one scalar tree fetched): an eager
+    # capture_intermediates forward dispatches hundreds of ops one relay
+    # round-trip at a time (~52 s for CLIP-L at batch 2 on this rig, vs ~5 s
+    # jitted), and fetching whole activations to reduce on host adds ~100 MB
+    # of tunnel traffic.  fc1/wi leaves reduce over the ACTIVATED hidden
+    # (that is what enters fc2/wo) -- the activation is applied inside the
+    # jit, so the host loop below must NOT re-apply it.
+    def _act_for(block: Tuple) -> Callable:
+        a = act
+        if act_by_path:
+            for prefix, name in act_by_path.items():
+                if block[: len(prefix)] == tuple(prefix):
+                    a = name
+        return _ACTS[a]
+
+    @jax.jit
+    def _probe(p, batch):
+        _, state = model.apply({"params": p}, *batch, capture_intermediates=True)
+
+        def red(keypath, leaf):
+            path = tuple(getattr(k, "key", str(k)) for k in keypath)
+            x = leaf.astype(jnp.float32)
+            if "__call__" in path:
+                mod_path = path[: path.index("__call__")]
+                if mod_path and mod_path[-1] == "wi":
+                    x = jax.nn.relu(x)  # T5 FFN hidden
+                elif len(mod_path) >= 2 and mod_path[-2:] == ("mlp", "fc1"):
+                    x = _act_for(mod_path[:-2])(x)
+            return jnp.max(jnp.abs(x))
+
+        return jax.tree_util.tree_map_with_path(red, state["intermediates"])
+
     for batch in batches:
-        _, state = model.apply({"params": params}, *batch, capture_intermediates=True)
-        flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
+        amax_tree = jax.device_get(_probe(params, tuple(batch)))
+        flat = jax.tree_util.tree_flatten_with_path(amax_tree)[0]
         for keypath, leaf in flat:
             path = tuple(getattr(k, "key", str(k)) for k in keypath)
             sow = next((s for s in SOWS if s in path), None)
@@ -130,18 +165,13 @@ def calibrate_act_scales(
                 block = mod_path[:-1]
                 t5ff_in_amax[block] = max(t5ff_in_amax.get(block, 0.0), _amax(leaf))
             elif mod_path[-1] == "wi":
+                # relu already applied in-probe (T5 FFN hidden)
                 block = mod_path[:-1]
-                hid = jax.nn.relu(leaf.astype(jnp.float32))  # T5 FFN is relu
-                t5_hid_amax[block] = max(t5_hid_amax.get(block, 0.0), _amax(hid))
+                t5_hid_amax[block] = max(t5_hid_amax.get(block, 0.0), _amax(leaf))
             elif len(mod_path) >= 2 and mod_path[-2:] == ("mlp", "fc1"):
+                # activation already applied in-probe (see _probe.red)
                 block = mod_path[:-2]
-                a = act
-                if act_by_path:
-                    for prefix, name in act_by_path.items():
-                        if block[: len(prefix)] == tuple(prefix):
-                            a = name
-                hid = _ACTS[a](leaf.astype(jnp.float32))
-                hid_amax[block] = max(hid_amax.get(block, 0.0), _amax(hid))
+                hid_amax[block] = max(hid_amax.get(block, 0.0), _amax(leaf))
 
     def scale(amax: float) -> float:
         return max(amax * margin, 1e-4) / 127.0

@@ -36,7 +36,10 @@ def quantize_weight(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """fp kernel [in, out] -> (int8 kernel, f32 per-out-channel scale)."""
     kernel = np.asarray(kernel, np.float32)
     w_max = np.abs(kernel).max(axis=0)
-    scale = np.where(w_max > 0, w_max / 127.0, 1.0).astype(np.float32)
+    # multiply-by-reciprocal (not /127): XLA canonicalizes division by a
+    # constant into this form, so writing it the same way keeps the host
+    # artifact path and the jitted quantize_tree_jax bit-identical
+    scale = np.where(w_max > 0, w_max * np.float32(1.0 / 127.0), 1.0).astype(np.float32)
     q = np.clip(np.round(kernel / scale), -127, 127).astype(np.int8)
     return q, scale
 
@@ -201,5 +204,42 @@ def quantize_tree(params: Any, act_scales: Optional[dict] = None) -> Any:
         return node
 
     tree = walk(jax.device_get(params), ())
+    assert not act_scales, f"act_scales paths not found in params: {sorted(act_scales)}"
+    return tree
+
+
+def quantize_tree_jax(params: Any, act_scales: Optional[dict] = None) -> Any:
+    """`quantize_tree`, device-side: identical output STRUCTURE, jnp math.
+
+    Call it under `jax.jit` with device-resident params and the whole
+    quantization runs as ONE program on the accelerator -- the host variant
+    above device_gets the full tree (1.7 GB for CLIP-L), which costs minutes
+    through a remote-device relay.  Used by bench.py's EmbedSetup; the host
+    variant remains the offline-artifact path (models/registry.py).
+    Exactness vs the host variant: tests/test_quant.py."""
+    act_scales = dict(act_scales or {})
+
+    def qweight(kernel):
+        k = kernel.astype(jnp.float32)
+        w_max = jnp.max(jnp.abs(k), axis=0)
+        scale = jnp.where(w_max > 0, w_max * np.float32(1.0 / 127.0), 1.0)
+        q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+                kernel_q, scale = qweight(node["kernel"])
+                out = {"kernel_q": kernel_q, "scale": scale}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            out = {k: walk(v, path + (k,)) for k, v in node.items()}
+            if path in act_scales:
+                out["act_scales"] = jnp.asarray(act_scales.pop(path), jnp.float32)
+            return out
+        return node
+
+    tree = walk(params, ())
     assert not act_scales, f"act_scales paths not found in params: {sorted(act_scales)}"
     return tree
