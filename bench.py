@@ -306,10 +306,15 @@ def bench_retrieval(jax, jnp, on_tpu, n_pool=None, int8_pool=False):
 
 def bench_train_step(jax, jnp, on_tpu, bs=None):
     """Full CLIP-L train step (fwd+bwd+AdamW) examples/s, measured in DEVICE
-    time: the raw (non-donating) step is scanned N times inside one jit --
-    each iteration consumes the previous state, so XLA cannot CSE the
-    repeats -- and the 1-rep vs N-rep walls are differenced.  `bs` overrides
-    the batch (the OOM/compile fallback in main retries at 32)."""
+    time: the raw step is scanned N times inside one jit -- each iteration
+    consumes the previous state, so XLA cannot CSE the repeats -- and the
+    1-rep vs N-rep walls are differenced.  The scan DONATES and RETURNS the
+    TrainState, exactly like the engine's jitted step (steps.py
+    donate_argnums): round 5 found the earlier non-donating formulation held
+    the 5.1 GB input state live across the whole program, forcing XLA's HLO
+    rematerializer to re-run 251 forward ops inside the backward (the
+    measured effect: 95.7 -> 131.7 ex/s at batch 32 once donated).  `bs`
+    overrides the batch (the OOM/compile fallback in main retries at 32)."""
     from uniir_tpu.models.clip import CLIP_CONFIGS
     from uniir_tpu.models.clip_sf import CLIPScoreFusion
     from uniir_tpu.train.optimizer import make_clip_optimizer
@@ -317,8 +322,8 @@ def bench_train_step(jax, jnp, on_tpu, bs=None):
     from uniir_tpu.train.steps import make_clip_train_step
 
     if on_tpu:
-        # batch 32 is the measured best end-to-end (95.9 ex/s vs 87.8 at
-        # batch 64, docs/train_bench_r05.txt) and the cheaper compile; both
+        # batch 32 is the measured best end-to-end with the donated scan
+        # (132.2 ex/s vs 114.4 at batch 64, docs/train_bench_r05.txt); both
         # batches compile with the fused Pallas backward (the einsum-VJP
         # program at batch 64 was what the relay's compile helper 500'd on
         # in round 4).  Per-device batch is a throughput knob -- the A100
@@ -353,31 +358,32 @@ def bench_train_step(jax, jnp, on_tpu, bs=None):
     )
 
     def make(r):
-        @jax.jit
         def f(state, batch):
             def body(st, _):
                 st2, metrics = raw_step(st, batch)
                 return st2, metrics["loss"]
 
             st, losses = jax.lax.scan(body, state, None, length=r)
-            return losses
+            return st, losses
 
-        return f
+        return jax.jit(f, donate_argnums=(0,))
 
     f1, fn = make(1), make(reps)
 
     def run(f):
+        nonlocal state
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = f(state, batch)
+            state, out = f(state, batch)  # donated in, threaded out
             float(jnp.sum(out.astype(jnp.float32)))  # host fetch = barrier
             times.append(time.perf_counter() - t0)
         return min(times)
 
     t_first = time.perf_counter()
-    f1(state, batch)  # compile both programs before the timed runs
-    fn(state, batch)
+    state, _ = f1(state, batch)  # compile both programs before the timed runs
+    state, _ = fn(state, batch)
+    jax.block_until_ready(state)
     _trace(f"train programs compiled ({time.perf_counter() - t_first:.1f}s)")
     per_step = _amortized(lambda: run(f1), lambda: run(fn), reps)
     return bs / per_step

@@ -65,26 +65,32 @@ def capture(args):
 
     reps = args.reps
 
-    @jax.jit
-    def f(state, batch):
+    # donate + return the state, matching the engine's jitted step and
+    # bench.bench_train_step: the non-donating variant holds the 5.1 GB
+    # input state live and forces XLA to rematerialize forward ops in the
+    # backward (251 .remat ops in the round-5 trace; 95.7 vs 131.7 ex/s)
+    def f_(state, batch):
         def body(st, _):
             st2, metrics = raw_step(st, batch)
             return st2, metrics["loss"]
 
-        _, losses = jax.lax.scan(body, state, None, length=reps)
-        return losses
+        st, losses = jax.lax.scan(body, state, None, length=reps)
+        return st, losses
 
-    out = f(state, batch)
+    f = jax.jit(f_, donate_argnums=(0,))
+
+    lowered = f.lower(state, batch) if args.hlo else None
+    state, out = f(state, batch)
     float(jnp.sum(out.astype(jnp.float32)))  # compile + warm
 
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="uniir_train_trace_")
     os.makedirs(log_dir, exist_ok=True)
-    if args.hlo:
+    if lowered is not None:
         hlo_path = os.path.join(log_dir, "compiled_hlo.txt")
         with open(hlo_path, "w") as fh:
-            fh.write(f.lower(state, batch).compile().as_text())
+            fh.write(lowered.compile().as_text())
     jax.profiler.start_trace(log_dir)
-    out = f(state, batch)
+    state, out = f(state, batch)
     float(jnp.sum(out.astype(jnp.float32)))
     jax.profiler.stop_trace()
     return log_dir, reps, bs
