@@ -439,7 +439,7 @@ class Emitter:
         # bf16 rides in extras (and vice versa).
         extras = list(self.extras)
         if static > bf16:
-            value, serving = static, "int8-static-xla (calibrated activation scales)"
+            value, serving = static, "int8-static-xla, padded-flat tower (calibrated activation scales)"
             if self.bf16_pairs is not None:
                 extras.insert(0, self._pairs_row("bf16", bf16))
         else:

@@ -177,3 +177,39 @@ def test_blip_ff_calibrated_static_cross_attention(monkeypatch):
     assert np.all(np.isfinite(np.asarray(e_q, np.float32)))
     cos = _cosine(e_f, e_q)
     assert cos.min() > 0.98, cos
+
+
+@pytest.mark.parametrize("backend", ["xla", "static"])
+def test_flat_serving_matches_3d(backend, monkeypatch):
+    """UNIIR_INT8_FLAT (padded-flat vision tower, round 5): physically pads
+    L to ceil8(L) and runs every projection/MLP dot 2-D, threading
+    l_valid into the attention kernel.  Must produce the SAME embeddings as
+    the 3-D formulation -- same dots over the same data, pad rows masked in
+    attention and discarded at pooling."""
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", backend)
+    model_f, model_q, batch = _build("CLIPScoreFusion")
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+    qparams = quantize_tree(params)
+
+    monkeypatch.setenv("UNIIR_INT8_FLAT", "0")
+    e_3d = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
+    monkeypatch.setenv("UNIIR_INT8_FLAT", "1")
+    e_flat = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
+    np.testing.assert_allclose(e_flat, e_3d, atol=2e-2, rtol=0)
+    cos = _cosine(e_flat, e_3d)
+    assert cos.min() > 0.999, cos
+
+
+def test_flat_serving_matches_3d_feature_mode(monkeypatch):
+    """CLIP-FF keeps the full vision token sequence (pool="none"): the flat
+    tower must drop the pad rows before ln_post/proj."""
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", "xla")
+    model_f, model_q, batch = _build("CLIPFeatureFusion")
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+    qparams = quantize_tree(params)
+
+    monkeypatch.setenv("UNIIR_INT8_FLAT", "0")
+    e_3d = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
+    monkeypatch.setenv("UNIIR_INT8_FLAT", "1")
+    e_flat = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
+    np.testing.assert_allclose(e_flat, e_3d, atol=2e-2, rtol=0)

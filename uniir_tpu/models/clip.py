@@ -94,6 +94,17 @@ class CLIPVisionTower(nn.Module):
     # paired-head fused attention: non-causal, so safe for the vision stack
     fused_attention: bool = True
 
+    def _flat_serving(self) -> bool:
+        """Padded-flat int8 serving (round 5, docs/PERFORMANCE.md): pad L to
+        the tile height ceil8(L) so [B,Lp,W] <-> [B*Lp,W] reshapes are
+        bitcasts and every projection/MLP dot runs 2-D -- over 3-D
+        [B,257,W] operands XLA's conv emitters disagree on layouts and fc2
+        pays a 270 MB s8 relayout per layer (+18% tower time measured).
+        Inference-only (quant implies no grads); opt out: UNIIR_INT8_FLAT=0."""
+        import os
+
+        return self.quant and not self.remat and os.environ.get("UNIIR_INT8_FLAT", "1") == "1"
+
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
@@ -110,6 +121,14 @@ class CLIPVisionTower(nn.Module):
         )
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        flat = None
+        l_true = L + 1
+        if self._flat_serving():
+            lp = -(-l_true // 8) * 8
+            if lp != l_true:
+                x = jnp.pad(x, ((0, 0), (0, lp - l_true), (0, 0)))
+            x = x.reshape(B * lp, cfg.vision_width)
+            flat = (B, lp, l_true)
         x = Transformer(
             cfg.vision_width,
             cfg.vision_layers,
@@ -121,7 +140,7 @@ class CLIPVisionTower(nn.Module):
             fused_attention=self.fused_attention,
             name="transformer",
             # pooled tower: the last block only computes the CLS row (exact)
-        )(x, pool_idx=jnp.zeros((B,), jnp.int32) if self.pool == "cls" else None)
+        )(x, pool_idx=jnp.zeros((B,), jnp.int32) if self.pool == "cls" else None, flat=flat)
         proj = self.param(
             "proj", nn.initializers.normal(cfg.vision_width**-0.5), (cfg.vision_width, cfg.embed_dim)
         )
@@ -129,6 +148,8 @@ class CLIPVisionTower(nn.Module):
             x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0, :])
             return x @ proj.astype(self.dtype)
         # pool == "none": token sequence through ln_post + proj (CLIP-FF surgery)
+        if flat is not None:
+            x = x.reshape(B, flat[1], cfg.vision_width)[:, :l_true]  # drop pad rows
         x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x)
         return x @ proj.astype(self.dtype)
 

@@ -104,10 +104,23 @@ class MultiHeadAttention(nn.Module):
     causal: bool = False  # lower-triangular self-attention (CLIP text tower)
 
     @nn.compact
-    def __call__(self, x, kv=None, mask=None):
+    def __call__(self, x, kv=None, mask=None, flat=None):
         # x: [B, Lq, W]; kv: [B, Lk, W] or None (self-attention)
+        #
+        # `flat=(B, Lp, l_valid)` is the padded-flat serving contract
+        # (UNIIR_INT8_FLAT): x is [B*Lp, W] with Lp a multiple of 8, so the
+        # q/k/v/out projections below run as 2-D dots with agreeing {1,0}
+        # layouts -- over 3-D [B, 257, W] operands XLA lowers them through
+        # convolution emitters whose layout preferences disagree, costing a
+        # 270 MB s8 relayout per layer on the static-int8 path (measured
+        # round 5, docs/PERFORMANCE.md).  [B*Lp, W] <-> [B, Lp, W] reshapes
+        # are layout-preserving bitcasts because Lp is tile-aligned; only
+        # the attention kernel sees 3-D, with the true length in l_valid.
         head_dim = self.width // self.num_heads
         W = self.width
+        if flat is not None:
+            assert kv is None and mask is None, "flat mode is self-attention only"
+            assert x.ndim == 2 and x.shape[0] == flat[0] * flat[1], (x.shape, flat)
 
         # Static-int8 serving (UNIIR_INT8_BACKEND=static): a calibrated
         # `act_scales` leaf [a_qkv, a_out] under this module's path (written
@@ -170,7 +183,29 @@ class MultiHeadAttention(nn.Module):
                 self.width, dtype=self.dtype, name="out_proj", kernel_init=self.out_init
             )(out)
 
-        if self.fused and mask is None and kv is None and self.dtype == jnp.bfloat16:
+        if flat is not None:
+            Bf, Lp, l_valid = flat
+            q3, k3, v3 = (t.reshape(Bf, Lp, W) for t in (q, k, v))  # bitcasts
+            if self.fused and self.dtype == jnp.bfloat16:
+                from uniir_tpu.ops.attention_pallas import mha_paired_stack, paired_attention_supported
+
+                on_tpu = jax.default_backend() == "tpu"
+                if paired_attention_supported(self.num_heads, self.width, on_tpu):
+                    # direct kernel call (not the custom_vjp wrapper): flat
+                    # mode is inference-only (gated on quant serving)
+                    out = mha_paired_stack(
+                        q3, k3, v3, self.num_heads, head_dim**-0.5,
+                        interpret=not on_tpu, causal=self.causal, l_valid=l_valid,
+                    )
+                    return out_proj(out.reshape(Bf * Lp, W))
+            # einsum fallback: mask the pad keys explicitly
+            mask = (jnp.arange(Lp) < l_valid)[None, None, None, :]
+            if self.causal:
+                mask = mask & jnp.tril(jnp.ones((Lp, Lp), dtype=bool))[None, None]
+            q, k, v = q3, k3, v3
+            B, Lq = Bf, Lp
+            Lk = Lp
+        elif self.fused and mask is None and kv is None and self.dtype == jnp.bfloat16:
             from uniir_tpu.ops.attention_pallas import paired_attention, paired_attention_supported
 
             on_tpu = jax.default_backend() == "tpu"
@@ -180,8 +215,9 @@ class MultiHeadAttention(nn.Module):
                 )
                 return out_proj(out)
 
-        B, Lq = x.shape[0], x.shape[1]
-        Lk = kv_src.shape[1]
+        if flat is None:
+            B, Lq = x.shape[0], x.shape[1]
+            Lk = kv_src.shape[1]
         if self.causal and mask is None:
             # self-attention einsum fallback builds the triangular mask here
             mask = jnp.tril(jnp.ones((Lq, Lk), dtype=bool))[None, None]
@@ -197,6 +233,8 @@ class MultiHeadAttention(nn.Module):
             logits = jnp.where(mask, logits, big_neg)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, self.width)
+        if flat is not None:
+            out = out.reshape(B * Lq, self.width)
         return out_proj(out)
 
 
@@ -280,7 +318,7 @@ class TransformerBlock(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, pool_idx=None):
+    def __call__(self, x, mask=None, pool_idx=None, flat=None):
         attn = MultiHeadAttention(
             self.width,
             self.num_heads,
@@ -295,9 +333,13 @@ class TransformerBlock(nn.Module):
         ln_2 = nn.LayerNorm(dtype=self.dtype, name="ln_2")
 
         if pool_idx is None:
+            # identical math for 3-D [B, L, W] and padded-flat [B*Lp, W]
+            # inputs: LN/MLP/residual are elementwise over rows; only the
+            # attention module needs the (B, Lp, l_valid) structure.
             h = ln_1(x)
-            x = x + attn(h, mask=mask)
+            x = x + attn(h, mask=mask, flat=flat)
             return mlp(ln_2(x), res=x)
+        assert flat is None, "pooled blocks take 3-D input (Transformer unflattens first)"
 
         # Pooled-query block: downstream only reads the token at pool_idx
         # ([B] int32), so run attention with a single query row and the MLP on
@@ -340,10 +382,20 @@ class Transformer(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, pool_idx=None):
+    def __call__(self, x, mask=None, pool_idx=None, flat=None):
         """With `pool_idx` ([B] int32), the LAST block computes only the
         pooled token's output (returns [B, 1, W]) -- exact for pooled towers
-        where every other final-layer position is discarded."""
+        where every other final-layer position is discarded.
+
+        With `flat=(B, Lp, l_valid)` (padded-flat serving, see
+        MultiHeadAttention), `x` is [B*Lp, W]; the stack runs flat and the
+        pooled last block gets the 3-D bitcast view plus a pad-key mask.
+        Without `pool_idx` the FLAT array is returned -- callers slice the
+        valid rows."""
+        assert not (self.remat and flat is not None), "flat serving mode has no remat"
+        # causal flat would need the tril folded into the pooled block's key
+        # mask; only the non-causal vision tower uses flat today
+        assert not (self.causal and flat is not None and pool_idx is not None), "causal pooled flat unsupported"
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=())
@@ -359,7 +411,17 @@ class Transformer(nn.Module):
                 causal=self.causal,
                 name=f"resblocks_{i}",
             )
-            x = blk(x, mask, pool_idx) if (i == self.layers - 1 and pool_idx is not None) else blk(x, mask)
+            if i == self.layers - 1 and pool_idx is not None:
+                if flat is not None:
+                    B, Lp, l_valid = flat
+                    x = x.reshape(B, Lp, self.width)  # bitcast (Lp % 8 == 0)
+                    key_mask = jnp.broadcast_to(
+                        (jnp.arange(Lp) < l_valid)[None, None, None, :], (1, 1, Lp, Lp)
+                    )
+                    mask = key_mask if mask is None else mask & key_mask
+                x = blk(x, mask, pool_idx)
+            else:
+                x = blk(x, mask, flat=flat)
         return x
 
 

@@ -318,6 +318,7 @@ def mha_paired_stack(
     rows: int = 1,
     pair_group: int = 1,
     softmax_impl: str = "full",
+    l_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Row-stacked fused attention over model-native [B, L, H*D] tensors.
 
@@ -325,12 +326,23 @@ def mha_paired_stack(
     masked ceil8 boundary blocks, no relayouts); `rows` batch rows are
     processed per grid step, `pair_group` head pairs' score matmuls are
     issued ahead of their softmax/PV stages.
+
+    `l_valid` (default L): the number of VALID sequence positions.  The
+    padded-flat serving path (layers.py, UNIIR_INT8_FLAT) physically pads
+    L to the tile height ceil8(L) so projection/MLP dots can run 2-D, and
+    passes the true length here -- keys/values past `l_valid` are masked
+    exactly as the boundary rows of an unpadded array already were (the
+    kernel has always processed ceil8-tall blocks; this only decouples the
+    mask from the array length).  Output rows past `l_valid` are garbage
+    (finite, since the pad rows are materialized zeros) and must be
+    discarded by the caller's pooling.
     """
     from jax.experimental import pallas as pl
 
     B, L, W = q.shape
     head_dim = W // heads
     assert heads % 2 == 0 and head_dim * heads == W
+    assert l_valid is None or 0 < l_valid <= L, (l_valid, L)
     scale = head_dim**-0.5 if scale is None else scale
     while B % rows:
         rows //= 2
@@ -338,7 +350,8 @@ def mha_paired_stack(
 
     kernel = functools.partial(
         _paired_stack_kernel,
-        heads=heads, head_dim=head_dim, l_valid=L, scale=scale, causal=causal, rows=rows,
+        heads=heads, head_dim=head_dim, l_valid=L if l_valid is None else l_valid,
+        scale=scale, causal=causal, rows=rows,
         pair_group=pair_group, softmax_impl=softmax_impl,
     )
     out = pl.pallas_call(
