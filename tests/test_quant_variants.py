@@ -213,3 +213,23 @@ def test_flat_serving_matches_3d_feature_mode(monkeypatch):
     monkeypatch.setenv("UNIIR_INT8_FLAT", "1")
     e_flat = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
     np.testing.assert_allclose(e_flat, e_3d, atol=2e-2, rtol=0)
+
+
+@pytest.mark.parametrize("name", ["BLIPScoreFusion", "BLIPFeatureFusion"])
+def test_flat_serving_matches_3d_blip(name, monkeypatch):
+    """BLIP ViT adopts the padded-flat int8 tower too: BLIP-SF exercises the
+    CLS-pooled last block (pad keys masked in its single-query attention),
+    BLIP-FF the full-sequence output that feeds MED cross-attention (pad
+    rows must be dropped before it)."""
+    monkeypatch.setenv("UNIIR_INT8_BACKEND", "xla")
+    model_f, model_q, batch = _build(name)
+    params = model_f.init(jax.random.PRNGKey(0), *batch)["params"]
+    qparams = quantize_tree(params)
+
+    monkeypatch.setenv("UNIIR_INT8_FLAT", "0")
+    e_3d = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
+    monkeypatch.setenv("UNIIR_INT8_FLAT", "1")
+    e_flat = np.asarray(model_q.apply({"params": qparams}, *batch), np.float32)
+    np.testing.assert_allclose(e_flat, e_3d, atol=2e-2, rtol=0)
+    cos = _cosine(e_flat, e_3d)
+    assert cos.min() > 0.999, cos

@@ -71,17 +71,25 @@ class BLIPBlock(nn.Module):
     quant: bool = False  # int8 projections (inference path; requires deterministic)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, flat=None, key_mask=None):
+        """`flat=(B, Lp, l_valid)` is the padded-flat int8 serving contract
+        (see layers.MultiHeadAttention): x is [B*Lp, W], projections/MLP run
+        2-D, the attention kernel masks keys past l_valid.  Requires
+        deterministic (DropPath's per-sample mask keys off the leading dim,
+        which is rows in flat mode -- identity when deterministic).
+        `key_mask` masks pad keys for the pool_first single-query block."""
         attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, fused=self.fused_attention, quant=self.quant, name="attn"
         )
         mlp = MLP(self.width, int(self.width * self.mlp_ratio), act="gelu", dtype=self.dtype, quant=self.quant, name="mlp")
+        if flat is not None:
+            assert deterministic and self.quant and not self.pool_first, "flat is the int8 serving path"
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         if self.pool_first:
-            h = attn(h[:, :1], kv=h)  # single CLS query over the full sequence
+            h = attn(h[:, :1], kv=h, mask=key_mask)  # single CLS query over the full sequence
             x = x[:, :1]
         else:
-            h = attn(h)
+            h = attn(h, flat=flat)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         if self.quant:
@@ -116,6 +124,20 @@ class BLIPVisionTransformer(nn.Module):
         pos = self.param("pos_embed", nn.initializers.zeros, (1, L + 1, cfg.width))
         x = x + pos.astype(self.dtype)
 
+        # padded-flat int8 serving (same treatment as CLIPVisionTower: pad L
+        # to the tile height so projection/MLP dots run 2-D; see
+        # docs/PERFORMANCE.md round-5 section); inference-only
+        import os
+
+        l_true = L + 1
+        flat = None
+        if self.quant and deterministic and not self.remat_from_layer and os.environ.get("UNIIR_INT8_FLAT", "1") == "1":
+            lp = -(-l_true // 8) * 8
+            if lp != l_true:
+                x = jnp.pad(x, ((0, 0), (0, lp - l_true), (0, 0)))
+            x = x.reshape(B * lp, cfg.width)
+            flat = (B, lp, l_true)
+
         for i in range(cfg.layers):
             # linear drop-path schedule like timm (rate * i / (layers - 1))
             dp = cfg.drop_path_rate * i / max(1, cfg.layers - 1)
@@ -123,8 +145,17 @@ class BLIPVisionTransformer(nn.Module):
             if self.remat_from_layer and i >= cfg.layers - self.remat_from_layer:
                 block_cls = nn.remat(BLIPBlock, static_argnums=(2,))
             trim = pool_cls and i == cfg.layers - 1
+            key_mask = None
+            if flat is not None and trim:
+                # unflatten (bitcast) for the single-CLS-query last block and
+                # mask the pad keys it would otherwise attend to
+                x = x.reshape(B, flat[1], cfg.width)
+                key_mask = (jnp.arange(flat[1]) < l_true)[None, None, None, :]
             x = block_cls(
                 cfg.width, cfg.heads, cfg.mlp_ratio, drop_path=dp, dtype=self.dtype,
                 pool_first=trim, quant=self.quant, name=f"blocks_{i}",
-            )(x, deterministic)
+            )(x, deterministic, flat=None if trim else flat, key_mask=key_mask)
+        if flat is not None and not pool_cls:
+            # full-sequence consumer (BLIP-FF cross-attention): drop pad rows
+            x = x.reshape(B, flat[1], cfg.width)[:, :l_true]
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
