@@ -48,6 +48,11 @@ def main():
     parser.add_argument("--causal", action="store_true")
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--len", dest="seqlen", type=int, default=257)
+    parser.add_argument(
+        "--l_valid", type=int, default=None,
+        help="padded-flat contract: physical --len, true length here "
+        "(e.g. --len 264 --l_valid 257; engages split-K when lv%%128==1)",
+    )
     parser.add_argument("--heads", type=int, default=16)
     parser.add_argument("--head_dim", type=int, default=64)
     parser.add_argument("--variants", type=str, default="einsum,paired,stack1,stack2,stack4,stack8")
@@ -82,10 +87,13 @@ def main():
         variants["einsum"] = lambda q, k, v: ap._einsum_flat(q, k, v, H, scale, causal)
     if "paired" in args.variants:
         variants["paired(r2)"] = lambda q, k, v: ap.mha_paired(q, k, v, H, scale, interp, causal)
+    lv = args.l_valid
     for r in (1, 2, 4, 8, 16):
         if f"stack{r}" in args.variants:
             variants[f"stack rows={r}"] = (
-                lambda q, k, v, r=r: ap.mha_paired_stack(q, k, v, H, scale, interp, causal, rows=r)
+                lambda q, k, v, r=r: ap.mha_paired_stack(
+                    q, k, v, H, scale, interp, causal, rows=r, l_valid=lv
+                )
             )
     for g in (2, 4, 8):
         if f"pg{g}" in args.variants:
@@ -100,15 +108,21 @@ def main():
                 )
             )
 
-    # correctness spot-check before timing
-    ref = np.asarray(ap._einsum_flat(q[:2], k[:2], v[:2], H, scale, causal), np.float32)
+    # correctness spot-check before timing.  Under --l_valid, the einsum
+    # reference runs on the sliced-to-lv arrays (it has no mask) and only
+    # rows < l_valid are compared.
+    nchk = L if lv is None else lv
+    ref = np.asarray(
+        ap._einsum_flat(q[:2, :nchk], k[:2, :nchk], v[:2, :nchk], H, scale, causal),
+        np.float32,
+    )
     for name, fn in variants.items():
         out = np.asarray(fn(q[:2], k[:2], v[:2]), np.float32)
-        err = np.abs(out - ref).max()
+        err = np.abs(out[:, :nchk] - ref[:, :nchk]).max()
         status = "OK" if err < 6e-2 else f"MISMATCH {err:.3f}"
         print(f"{name:16s} check: {status}")
 
-    flop = 4 * B * H * L * L * D  # QK^T + PV
+    flop = 4 * B * H * nchk * nchk * D  # QK^T + PV, useful (l_valid) flops
     for name, fn in variants.items():
         dt = bench_variant(jax, jnp, fn, q, k, v)
         print(f"{name:16s} {dt*1e3:8.2f} ms/layer   {flop/dt/1e12:6.1f} TFLOPs  ({B}x{L}x{H}x{D}{' causal' if causal else ''})")

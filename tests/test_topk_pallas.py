@@ -275,3 +275,73 @@ def test_paired_stack_bwd_kernel_matches_einsum_vjp():
             b = np.asarray(b, np.float32)
             assert not np.isnan(a).any(), (L, causal, name)
             np.testing.assert_allclose(a, b, atol=6e-2, err_msg=f"d{name} L={L} causal={causal}")
+
+
+def test_paired_stack_splitk_matches_reference(monkeypatch):
+    """Split-K tail path (round 5): at l_valid % 128 == 1 the kernel runs its
+    matmuls over the first l_valid-1 keys (whole lane tiles) and folds the
+    last key in as a VPU rank-1 correction.  L=129 is the smallest engaging
+    shape; checked against the einsum reference and against the non-splitk
+    formulation (UNIIR_ATTN_SPLITK=0), both exact to bf16 tolerance."""
+    from uniir_tpu.ops.attention_pallas import mha_paired_stack, mha_reference
+
+    rng = np.random.default_rng(11)
+    B, L, H, D = 2, 129, 4, 64
+    W = H * D
+    q = jnp.asarray(rng.normal(size=(B, L, W)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, L, W)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, L, W)), jnp.bfloat16)
+    ref = np.asarray(
+        mha_reference(
+            jnp.asarray(np.asarray(q, np.float32).reshape(B, L, H, D)),
+            jnp.asarray(np.asarray(k, np.float32).reshape(B, L, H, D)),
+            jnp.asarray(np.asarray(v, np.float32).reshape(B, L, H, D)),
+        ),
+        np.float32,
+    ).reshape(B, L, W)
+
+    monkeypatch.setenv("UNIIR_ATTN_SPLITK", "1")
+    out = np.asarray(mha_paired_stack(q, k, v, H, interpret=True), np.float32)
+    assert not np.isnan(out).any()
+    np.testing.assert_allclose(out, ref, atol=3e-2)
+
+    monkeypatch.setenv("UNIIR_ATTN_SPLITK", "0")
+    out_nosplit = np.asarray(mha_paired_stack(q, k, v, H, interpret=True), np.float32)
+    np.testing.assert_allclose(out, out_nosplit, atol=3e-2)
+
+    # exp2 softmax variant under splitk
+    monkeypatch.setenv("UNIIR_ATTN_SPLITK", "1")
+    out2 = np.asarray(mha_paired_stack(q, k, v, H, interpret=True, softmax_impl="exp2"), np.float32)
+    np.testing.assert_allclose(out2, ref, atol=3e-2)
+
+
+def test_paired_stack_splitk_with_l_valid_padded(monkeypatch):
+    """Padded-flat contract + split-K together: arrays physically padded to
+    ceil8(L) with l_valid = true length; valid rows must match the reference
+    over the valid region and keys past l_valid must not contribute."""
+    from uniir_tpu.ops.attention_pallas import mha_paired_stack, mha_reference
+
+    rng = np.random.default_rng(13)
+    B, L, H, D = 2, 129, 4, 64
+    W = H * D
+    Lp = -(-L // 8) * 8  # 136
+    q = rng.normal(size=(B, Lp, W)).astype(np.float32)
+    k = rng.normal(size=(B, Lp, W)).astype(np.float32)
+    v = rng.normal(size=(B, Lp, W)).astype(np.float32)
+    # poison the pad rows: they must never contribute to valid outputs
+    q[:, L:] = 1e4
+    k[:, L:] = 1e4
+    v[:, L:] = 1e4
+    qb, kb, vb = (jnp.asarray(t, jnp.bfloat16) for t in (q, k, v))
+    monkeypatch.setenv("UNIIR_ATTN_SPLITK", "1")
+    out = np.asarray(mha_paired_stack(qb, kb, vb, H, interpret=True, l_valid=L), np.float32)
+    ref = np.asarray(
+        mha_reference(
+            jnp.asarray(q[:, :L].reshape(B, L, H, D), jnp.bfloat16).astype(jnp.float32),
+            jnp.asarray(k[:, :L].reshape(B, L, H, D), jnp.bfloat16).astype(jnp.float32),
+            jnp.asarray(v[:, :L].reshape(B, L, H, D), jnp.bfloat16).astype(jnp.float32),
+        ),
+        np.float32,
+    ).reshape(B, L, W)
+    assert not np.isnan(out[:, :L]).any()
+    np.testing.assert_allclose(out[:, :L], ref, atol=3e-2)

@@ -231,6 +231,10 @@ def _paired_stack_kernel(
     NaN discipline (see `_paired_kernel`): V rows past l_valid are zeroed
     via SELECT (multiply keeps NaN); K's garbage columns die at the colmask
     select; Q's garbage rows produce garbage rows the boundary write drops.
+
+    The split-K variant (`_paired_stack_splitk_kernel`, selected by
+    `mha_paired_stack` when l_valid %% 128 == 1) avoids this kernel's
+    3-lane-tile key padding at CLIP vision shapes.
     """
     Lp = q_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
@@ -307,6 +311,105 @@ def _paired_stack_kernel(
                 do_pair_out(r, hp, s)
 
 
+def _paired_stack_splitk_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, heads: int,
+    head_dim: int, km: int, scale: float, rows: int, pair_group: int = 1,
+    softmax_impl: str = "full",
+):
+    """SPLIT-K variant of `_paired_stack_kernel` (round 5).
+
+    At CLIP vision shapes l_valid = 257 = 2*128 + 1, so the row-stacked
+    kernel's [2Lp, Lp] score matrix pads its key axis to THREE 128-lane
+    Mosaic tiles -- 33%% wasted MXU work in both the QK and PV matmuls (the
+    round-3 "forced 3-tile key dim" roofline gap).  This kernel instead
+    contracts over the first Km = l_valid-1 keys -- a whole number of lane
+    tiles, every column valid, NO colmask/vkeep selects -- and folds the
+    single last key in as a VPU rank-1 correction: the last valid K/V row
+    is pulled out of the [Lp, 128] tile by a masked sublane reduction
+    (a bare 1-row extract dies in Mosaic's vector layout pass, and a
+    separate [B, 1, W] operand trips a pipeline window check --
+    `limits[i] <= dim(i)` -- on the compiled path), its logit is a VPU
+    lane-reduction dot, its softmax term a scalar column, and its value
+    contribution a broadcast outer product.  K/V rows past l_valid are
+    select-zeroed before the reduction so tile-padding NaNs die there.
+    Non-causal only; q rows past l_valid produce garbage rows the caller
+    discards (same contract as the base kernel).
+    """
+    Lp = q_ref.shape[1]
+    Km = km  # = l_valid - 1, a lane-tile multiple (caller-guaranteed)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 1)
+    half0 = (lane < head_dim).astype(jnp.bfloat16)
+    half1 = jnp.bfloat16(1) - half0
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (Lp, 2 * head_dim), 0)
+    lastrow = rowv == Km  # selects the last valid row (index l_valid - 1)
+    qscale = scale * 1.4426950408889634 if softmax_impl == "exp2" else scale
+    half0s = half0 * jnp.bfloat16(qscale)
+    half1s = half1 * jnp.bfloat16(qscale)
+    ex = jnp.exp2 if softmax_impl == "exp2" else jnp.exp
+    zero = jnp.bfloat16(0)
+    n_pairs = heads // 2
+
+    def do_pair_scores(r, hp):
+        sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
+        q2 = q_ref[r, :, sl]  # [Lp, 128] bf16
+        km = k_ref[r, :Km, sl]  # [Km, 128] -- whole lane tiles, all valid
+        qcat = jnp.concatenate([q2 * half0s, q2 * half1s], axis=0)  # [2Lp, 128]
+        s_main = jax.lax.dot_general(
+            qcat, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [2Lp, Km]
+        # last valid key row via masked sublane reduction (select kills
+        # tile-padding NaNs in rows > Km; row Km itself is valid data)
+        k_last = jnp.sum(
+            jnp.where(lastrow, k_ref[r, :, sl], zero), axis=0, keepdims=True
+        )  # [1, 128]
+        s_last = jnp.sum(
+            (qcat * k_last).astype(jnp.float32), axis=-1, keepdims=True
+        )  # [2Lp, 1] VPU lane-reduction dot
+        return s_main, s_last
+
+    def do_pair_out(r, hp, s):
+        sl = slice(hp * 2 * head_dim, (hp + 1) * 2 * head_dim)
+        s_main, s_last = s
+        m = jnp.maximum(jnp.max(s_main, axis=-1, keepdims=True), s_last)
+        e = ex(s_main - m)
+        e_last = ex(s_last - m)  # [2Lp, 1]
+        rsum = jnp.sum(e, axis=-1, keepdims=True) + e_last
+        p = e.astype(jnp.bfloat16)
+        p_last = e_last.astype(jnp.bfloat16)
+        vm = v_ref[r, :Km, sl]  # rows >= Km never read by the matmuls
+        vm0, vm1 = vm * half0[:Km], vm * half1[:Km]
+        # last valid value row, half-masked BEFORE the sublane reduction so
+        # no [1,128] slicing of the mask constants is needed
+        v_last0 = jnp.sum(
+            jnp.where(lastrow, v_ref[r, :, sl] * half0, zero), axis=0, keepdims=True
+        )  # [1, 128]
+        v_last1 = jnp.sum(
+            jnp.where(lastrow, v_ref[r, :, sl] * half1, zero), axis=0, keepdims=True
+        )
+        # outer product e_last x v_last as two chained ONE-sided broadcasts
+        # (lane broadcast of [Lp,1], then sublane broadcast of [1,128]); a
+        # direct [Lp,1]*[1,128] two-sided broadcast hangs the Mosaic
+        # compile (scripts/mosaic_repro.py, variants twoside vs chain)
+        zf = jnp.zeros((Lp, 2 * head_dim), jnp.bfloat16)
+        pl0 = zf + p_last[:Lp]
+        pl1 = zf + p_last[Lp:]
+        o0 = jax.lax.dot_general(
+            p[:Lp], vm0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + (pl0 * v_last0).astype(jnp.float32)
+        o1 = jax.lax.dot_general(
+            p[Lp:], vm1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + (pl1 * v_last1).astype(jnp.float32)
+        o = o0 * (1.0 / rsum[:Lp]) + o1 * (1.0 / rsum[Lp:])
+        o_ref[r, :, sl] = o.astype(o_ref.dtype)
+
+    for r in range(rows):
+        for g0 in range(0, n_pairs, pair_group):
+            group = range(g0, min(g0 + pair_group, n_pairs))
+            scores = [do_pair_scores(r, hp) for hp in group]
+            for hp, s in zip(group, scores):
+                do_pair_out(r, hp, s)
+
+
 def mha_paired_stack(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -337,6 +440,8 @@ def mha_paired_stack(
     (finite, since the pad rows are materialized zeros) and must be
     discarded by the caller's pooling.
     """
+    import os
+
     from jax.experimental import pallas as pl
 
     B, L, W = q.shape
@@ -347,10 +452,38 @@ def mha_paired_stack(
     while B % rows:
         rows //= 2
     Lp = -(-L // 8) * 8
+    lv = L if l_valid is None else l_valid
+
+    # SPLIT-K: when the valid length is one past a lane-tile multiple (CLIP
+    # vision: 257 = 2*128 + 1), contract over the first lv-1 keys (whole
+    # tiles) and fold the last key in as a VPU rank-1 correction -- the
+    # padded third key tile (33% of the QK and PV MXU work) disappears.
+    # See _paired_stack_splitk_kernel.  UNIIR_ATTN_SPLITK=0 disables.
+    splitk = (
+        not causal
+        and softmax_impl in ("full", "exp2")
+        and lv % 128 == 1
+        and lv > 128
+        and os.environ.get("UNIIR_ATTN_SPLITK", "1") == "1"
+    )
+    if splitk:
+        kernel = functools.partial(
+            _paired_stack_splitk_kernel,
+            heads=heads, head_dim=head_dim, km=lv - 1, scale=scale, rows=rows,
+            pair_group=pair_group, softmax_impl=softmax_impl,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, L, W), q.dtype),
+            grid=(B // rows,),
+            in_specs=[pl.BlockSpec((rows, Lp, W), lambda i: (i, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((rows, Lp, W), lambda i: (i, 0, 0)),
+            interpret=interpret,
+        )(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
 
     kernel = functools.partial(
         _paired_stack_kernel,
-        heads=heads, head_dim=head_dim, l_valid=L if l_valid is None else l_valid,
+        heads=heads, head_dim=head_dim, l_valid=lv,
         scale=scale, causal=causal, rows=rows,
         pair_group=pair_group, softmax_impl=softmax_impl,
     )
