@@ -456,15 +456,19 @@ def mha_paired_stack(
 
     # SPLIT-K: when the valid length is one past a lane-tile multiple (CLIP
     # vision: 257 = 2*128 + 1), contract over the first lv-1 keys (whole
-    # tiles) and fold the last key in as a VPU rank-1 correction -- the
-    # padded third key tile (33% of the QK and PV MXU work) disappears.
-    # See _paired_stack_splitk_kernel.  UNIIR_ATTN_SPLITK=0 disables.
+    # tiles) and fold the single last key in as a VPU rank-1 correction --
+    # the padded third key tile (33% of the QK and PV MXU work) disappears.
+    # See _paired_stack_splitk_kernel.  OPT-IN (UNIIR_ATTN_SPLITK=1): the
+    # compiled Mosaic path still dies in a pipeline window CHECK
+    # (`limits[i] <= dim(i) (32 vs. 1)`, scripts/mosaic_repro.py realh16,
+    # chip-verified 2026-08-19) even though interpret mode is exact; until
+    # that is fixed the base kernel is the only chip-safe formulation.
     splitk = (
         not causal
         and softmax_impl in ("full", "exp2")
         and lv % 128 == 1
         and lv > 128
-        and os.environ.get("UNIIR_ATTN_SPLITK", "1") == "1"
+        and os.environ.get("UNIIR_ATTN_SPLITK", "0") == "1"
     )
     if splitk:
         kernel = functools.partial(
